@@ -1,0 +1,136 @@
+"""Network building blocks: conv/pool stacks and residual variants.
+
+Functional (init, apply) pairs over explicit param dicts. Block semantics
+mirror the reference architecture exactly (channel plans, activation
+placement, skip projections) while the compute maps to the TPU ops in
+cape_tpu.ops:
+
+  conv_block   — conv -> bias+act -> pool            (reference cnp, lib/models.py:154-171)
+  deconv_block — unpool -> conv -> bias+act          (reference udn, :173-191)
+  res_block    — encoder residual block              (:715-741)
+  cmr_block    — GraphCMR GN decoder residual block  (:744-774)
+  affine_block — affine decoder residual block       (:776-793, 2004.02658)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cape_tpu.core.params import conv_bias, conv_weight, split_tree
+from cape_tpu.ops.cheb import cheb_conv
+from cape_tpu.ops.norm import group_norm
+
+
+# ---------------------------------------------------------------- plain conv
+def conv_block_init(key, K: int, fin: int, fout: int) -> dict:
+    return {"w": conv_weight(key, K, fin, fout), "b": conv_bias(fout)}
+
+
+def conv_block_apply(p: dict, x, lap, down, act):
+    """conv -> bias + activation -> pool."""
+    x = cheb_conv(x, lap, p["w"])
+    x = act(x + p["b"].astype(x.dtype))
+    return down(x)
+
+
+def deconv_block_apply(p: dict, x, lap, up, act):
+    """unpool -> conv -> bias + activation."""
+    x = up(x)
+    x = cheb_conv(x, lap, p["w"])
+    return act(x + p["b"].astype(x.dtype))
+
+
+def conv1x1_init(key, fin: int, fout: int) -> dict:
+    """K=1 'pointwise' graph conv; no bias (reference 1x1-conv scopes)."""
+    return {"w": conv_weight(key, 1, fin, fout)}
+
+
+def conv1x1_apply(p: dict, x, lap):
+    return cheb_conv(x, lap, p["w"])
+
+
+# ------------------------------------------------------------- encoder resid
+def res_block_init(key, K: int, fin: int, fout: int) -> dict:
+    keys = jax.random.split(key, 3)
+    p = {
+        "conv1": {"w": conv_weight(keys[0], K, fin, fout), "b": conv_bias(fout)},
+        "conv2": {"w": conv_weight(keys[1], K, fout, fout), "b": conv_bias(fout)},
+    }
+    if fin != fout:
+        p["proj"] = conv1x1_init(keys[2], fin, fout)
+    return p
+
+
+def res_block_apply(p: dict, x_in, lap, down, act):
+    """conv->act->conv + projected skip -> act -> pool (lib/models.py:715-741)."""
+    x = cheb_conv(x_in, lap, p["conv1"]["w"])
+    x = act(x + p["conv1"]["b"].astype(x.dtype))
+    x = cheb_conv(x, lap, p["conv2"]["w"])
+    skip = conv1x1_apply(p["proj"], x_in, lap) if "proj" in p else x_in
+    x = act(x + skip + p["conv2"]["b"].astype(x.dtype))
+    return down(x)
+
+
+# ---------------------------------------------------------- CMR decoder resid
+def cmr_block_init(key, K: int, fin: int, fout: int) -> dict:
+    keys = jax.random.split(key, 4)
+    half = fout // 2
+    p = {
+        "gn0": {"gamma": jnp.ones((fin,)), "beta": jnp.zeros((fin,))},
+        "lin1": conv1x1_init(keys[0], fin, half),
+        "gn1": {"gamma": jnp.ones((half,)), "beta": jnp.zeros((half,))},
+        "conv": {"w": conv_weight(keys[1], K, half, half)},
+        "gn2": {"gamma": jnp.ones((half,)), "beta": jnp.zeros((half,))},
+        "lin2": conv1x1_init(keys[2], half, fout),
+    }
+    if fin != fout:
+        p["proj"] = conv1x1_init(keys[3], fin, fout)
+    return p
+
+
+def cmr_block_apply(p: dict, x_in, lap, up):
+    """unpool -> [GN->relu->1x1 -> GN->relu->cheb -> GN->relu->1x1] + skip
+    (lib/models.py:744-774, GraphCMR 1905.03244)."""
+    xu = up(x_in)
+    x = group_norm(xu, p["gn0"]["gamma"], p["gn0"]["beta"])
+    x = jax.nn.relu(x)
+    x = conv1x1_apply(p["lin1"], x, lap)
+    x = group_norm(x, p["gn1"]["gamma"], p["gn1"]["beta"])
+    x = jax.nn.relu(x)
+    x = cheb_conv(x, lap, p["conv"]["w"])
+    x = group_norm(x, p["gn2"]["gamma"], p["gn2"]["beta"])
+    x = jax.nn.relu(x)
+    x = conv1x1_apply(p["lin2"], x, lap)
+    skip = conv1x1_apply(p["proj"], xu, lap) if "proj" in p else xu
+    return x + skip
+
+
+# -------------------------------------------------------- affine decoder resid
+def affine_block_init(key, K: int, fin: int, fout: int) -> dict:
+    """Note: outputs fout//2 channels, matching the reference
+    (lib/models.py:784-790 convs to out_channels//2 and sums)."""
+    keys = jax.random.split(key, 2)
+    half = fout // 2
+    return {
+        "conv": {"w": conv_weight(keys[0], K, fin, half)},
+        "affine": conv1x1_init(keys[1], fin, half),
+    }
+
+
+def affine_block_apply(p: dict, x_in, lap, up):
+    """unpool -> [cheb->relu] + parallel 1x1 'affine' branch, summed."""
+    x = up(x_in)
+    gc = jax.nn.relu(cheb_conv(x, lap, p["conv"]["w"]))
+    af = conv1x1_apply(p["affine"], x, lap)
+    return gc + af
+
+
+def concat_conditions(x: jnp.ndarray, *conds: jnp.ndarray) -> jnp.ndarray:
+    """Broadcast condition vectors [B, C] across vertices and concat on the
+    channel axis (reference fit_cond_dim + concat, lib/models.py:813-832)."""
+    B, V, _ = x.shape
+    parts = [x]
+    for c in conds:
+        parts.append(jnp.broadcast_to(c[:, None, :], (B, V, c.shape[-1])).astype(x.dtype))
+    return jnp.concatenate(parts, axis=-1)

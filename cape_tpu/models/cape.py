@@ -1,0 +1,260 @@
+"""The CAPE model: conditional mesh VAE generator + mesh-patch discriminator.
+
+Architecture parity with the reference (lib/models.py:230-832):
+  * condition nets: pose 126 -> nz_cond (2-layer FC with the reference's
+    hidden-width heuristic, :479-511), clothing-type 4 -> nz_cond2
+    (n_layer_cond layers, default linear);
+  * encoder: N Chebyshev conv blocks (plain or residual) over the mesh
+    pyramid, optional per-vertex condition concat, optional 1x1 channel
+    reduction, then FC heads for z_mean / z_logvar (:514-561);
+  * decoder: FC from [z | y | y2], 1x1 channel expansion, condition
+    re-concat before every layer, N deconv blocks (plain / CMR-GN /
+    affine), final conv to 3 channels + per-vertex bias (:564-617);
+  * discriminator: pix2pix-style per-vertex real/fake map on the
+    4-level ds2 pyramid with its own Chebyshev order Kd (:648-678).
+
+Everything is a pure function over (params, GraphContext, inputs); the
+model object only carries the config and the derived channel plan.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cape_tpu.core.config import CAPEConfig
+from cape_tpu.core.params import (
+    ACTIVATIONS,
+    conv_bias,
+    conv_weight,
+    dense_apply,
+    dense_init,
+    leaky_relu,
+)
+from cape_tpu.models import blocks
+from cape_tpu.ops.cheb import cheb_conv
+from cape_tpu.ops.sparse import GraphContext
+
+
+def _cond_hidden_width(y_dim: int, nz_cond: int) -> int:
+    """Hidden width heuristic of the 2-layer condition net (lib/models.py:498-503)."""
+    if nz_cond < y_dim // 2:
+        return y_dim // 2
+    if nz_cond < y_dim * 2:
+        return y_dim
+    return nz_cond // 2
+
+
+class CAPE:
+    def __init__(self, config: CAPEConfig):
+        self.cfg = config
+        self.act = ACTIVATIONS[config.activation]
+        self.dtype = jnp.dtype(config.compute_dtype)
+
+    # ------------------------------------------------------------- channels
+    def _encoder_channels(self) -> list[int]:
+        cfg = self.cfg
+        c = cfg.nn_input_channel
+        if cfg.cond_encoder:
+            c += cfg.nz_cond + cfg.nz_cond2
+        chans = [c]
+        for f in cfg.channels:
+            chans.append(f)
+        return chans  # chans[i] = input channels of encoder layer i
+
+    def _decoder_plan(self) -> list[tuple[int, int]]:
+        """[(fin, fout_block)] per decoder block, after cond concat."""
+        cfg = self.cfg
+        ncond = cfg.nz_cond + cfg.nz_cond2
+        F = cfg.channels
+        c = F[-1] + ncond
+        plan = []
+        for i in range(cfg.num_conv_layers):
+            fout = F[-(i + 1)]
+            plan.append((c, fout))
+            block_out = fout // 2 if (cfg.use_res_block_dec and cfg.affine) else fout
+            c = block_out + ncond
+        return plan
+
+    # ------------------------------------------------------------------ init
+    def init_params(self, rng: jax.Array, ctx: GraphContext) -> dict:
+        cfg = self.cfg
+        keys = iter(jax.random.split(rng, 64))
+        nxt = lambda: next(keys)
+
+        # condition nets (shared between G and D applications)
+        pose_hidden = _cond_hidden_width(cfg.cond_dim, cfg.nz_cond)
+        cond_pose = {
+            "fc1": dense_init(nxt(), cfg.cond_dim, pose_hidden),
+            "fc2": dense_init(nxt(), pose_hidden, cfg.nz_cond),
+        }
+        if cfg.n_layer_cond == 1:
+            cond_clo = {"fc1": dense_init(nxt(), cfg.cond2_dim, cfg.nz_cond2)}
+        else:
+            clo_hidden = _cond_hidden_width(cfg.cond2_dim, cfg.nz_cond2)
+            cond_clo = {
+                "fc1": dense_init(nxt(), cfg.cond2_dim, clo_hidden),
+                "fc2": dense_init(nxt(), clo_hidden, cfg.nz_cond2),
+            }
+
+        # encoder
+        enc_chans = self._encoder_channels()
+        F, K = cfg.channels, cfg.K
+        encoder: dict = {}
+        for i in range(cfg.num_conv_layers):
+            fin, fout = enc_chans[i], F[i]
+            if cfg.use_res_block:
+                encoder[f"layer{i}"] = blocks.res_block_init(nxt(), K, fin, fout)
+            else:
+                encoder[f"layer{i}"] = blocks.conv_block_init(nxt(), K, fin, fout)
+        p_last = ctx.level_sizes[-1]
+        enc_out_c = F[-1]
+        if cfg.reduce_dim > 0:
+            enc_out_c = F[-1] // cfg.reduce_rate
+            encoder["reduce"] = blocks.conv1x1_init(nxt(), F[-1], enc_out_c)
+        flat = p_last * enc_out_c
+        encoder["fc_mean"] = dense_init(nxt(), flat, cfg.nz)
+        encoder["fc_var"] = dense_init(nxt(), flat, cfg.nz)
+
+        # decoder
+        decoder: dict = {}
+        fc1_out_c = F[-1] // cfg.reduce_rate
+        decoder["fc1"] = dense_init(nxt(), cfg.z_total_dim, p_last * fc1_out_c)
+        if cfg.reduce_dim > 0:
+            decoder["expand"] = blocks.conv1x1_init(nxt(), fc1_out_c, F[-1])
+        plan = self._decoder_plan()
+        for i, (fin, fout) in enumerate(plan):
+            if cfg.use_res_block_dec:
+                if cfg.affine:
+                    decoder[f"layer{i}"] = blocks.affine_block_init(nxt(), K, fin, fout)
+                else:
+                    decoder[f"layer{i}"] = blocks.cmr_block_init(nxt(), K, fin, fout)
+            else:
+                decoder[f"layer{i}"] = blocks.conv_block_init(nxt(), K, fin, fout)
+        ncond = cfg.nz_cond + cfg.nz_cond2
+        last_block_out = (
+            plan[-1][1] // 2 if (cfg.use_res_block_dec and cfg.affine) else plan[-1][1]
+        )
+        out_fin = last_block_out + ncond
+        decoder["out"] = {
+            "w": conv_weight(nxt(), K, out_fin, cfg.nn_input_channel),
+            # one bias per vertex per channel (lib/models.py:615)
+            "b": jnp.full((ctx.level_sizes[0], cfg.nn_input_channel), 0.1, jnp.float32),
+        }
+
+        # discriminator (ds2 pyramid, Kd order)
+        disc: dict = {}
+        c = cfg.nn_input_channel + ncond
+        n_d = len(ctx.down_d)
+        for i in range(n_d):
+            disc[f"layer{i}"] = blocks.conv_block_init(nxt(), cfg.Kd, c, F[i])
+            c = F[i]
+        # final pred conv uses the VAE poly order (lib/models.py:676 quirk kept)
+        disc["pred"] = {"w": conv_weight(nxt(), K, c, 1)}
+
+        return {
+            "cond_pose": cond_pose,
+            "cond_clo": cond_clo,
+            "generator": {"encoder": encoder, "decoder": decoder},
+            "discriminator": disc,
+        }
+
+    # ------------------------------------------------------------ condition
+    def embed_conditions(self, params: dict, pose: jnp.ndarray, clo: jnp.ndarray):
+        """(pose [B,126], clo [B,4]) -> (y [B,nz_cond], y2 [B,nz_cond2])."""
+        pose = pose.astype(self.dtype)
+        clo = clo.astype(self.dtype)
+        p = params["cond_pose"]
+        y = dense_apply(p["fc1"], pose, activation=leaky_relu)
+        y = dense_apply(p["fc2"], y)
+        c = params["cond_clo"]
+        if "fc2" in c:
+            y2 = dense_apply(c["fc1"], clo, activation=leaky_relu)
+            y2 = dense_apply(c["fc2"], y2)
+        else:
+            y2 = dense_apply(c["fc1"], clo)
+        return y, y2
+
+    # --------------------------------------------------------------- encoder
+    def encode(self, params: dict, ctx: GraphContext, x, y, y2):
+        """x [B,V,3] -> (z_mean, z_logvar) [B,nz] (lib/models.py:514-561)."""
+        cfg = self.cfg
+        enc = params["generator"]["encoder"]
+        x = x.astype(self.dtype)
+        if cfg.cond_encoder:
+            x = blocks.concat_conditions(x, y, y2)
+        for i in range(cfg.num_conv_layers):
+            p = enc[f"layer{i}"]
+            if cfg.use_res_block:
+                x = blocks.res_block_apply(p, x, ctx.lap[i], ctx.down[i], self.act)
+            else:
+                x = blocks.conv_block_apply(p, x, ctx.lap[i], ctx.down[i], self.act)
+        if cfg.reduce_dim > 0:
+            x = blocks.conv1x1_apply(enc["reduce"], x, ctx.lap[-1])
+        x = x.reshape(x.shape[0], -1)
+        z_mean = dense_apply(enc["fc_mean"], x)
+        z_logvar = dense_apply(enc["fc_var"], x)
+        return z_mean, z_logvar
+
+    # --------------------------------------------------------------- decoder
+    def decode(self, params: dict, ctx: GraphContext, z_total, y, y2):
+        """[z | y | y2] [B,z_total] -> verts [B,V,3] (lib/models.py:564-617)."""
+        cfg = self.cfg
+        dec = params["generator"]["decoder"]
+        n = cfg.num_conv_layers
+        z_total = z_total.astype(self.dtype)
+        x = dense_apply(dec["fc1"], z_total, activation=leaky_relu)
+        p_last = ctx.level_sizes[-1]
+        x = x.reshape(x.shape[0], p_last, -1)
+        if cfg.reduce_dim > 0:
+            x = blocks.conv1x1_apply(dec["expand"], x, ctx.lap[-1])
+        x = blocks.concat_conditions(x, y, y2)
+        for i in range(n):
+            p = dec[f"layer{i}"]
+            lap = ctx.lap[-(i + 2)]
+            up = ctx.up[-(i + 1)]
+            if cfg.use_res_block_dec:
+                if cfg.affine:
+                    x = blocks.affine_block_apply(p, x, lap, up)
+                else:
+                    x = blocks.cmr_block_apply(p, x, lap, up)
+            else:
+                x = blocks.deconv_block_apply(p, x, lap, up, self.act)
+            x = blocks.concat_conditions(x, y, y2)
+        x = cheb_conv(x, ctx.lap[0], dec["out"]["w"])
+        return x + dec["out"]["b"].astype(x.dtype)
+
+    # ------------------------------------------------------------- generator
+    def sample_z(self, rng, z_mean, z_logvar):
+        """Reparameterization z = mu + sigma * eps (lib/models.py:193-196).
+
+        The exp is clamped: with the reference's init, deep res-block
+        encoders can emit |logvar| in the hundreds at step 0, and
+        exp(logvar) overflows float32 -> NaN poisons training. Clamping
+        only inside the exp keeps finite values while the KL's linear
+        logvar term still provides gradient to bring logvar down.
+        """
+        eps = jax.random.normal(rng, z_mean.shape, dtype=z_mean.dtype)
+        sigma = jnp.exp(0.5 * jnp.clip(z_logvar, -30.0, 30.0))
+        return z_mean + sigma * eps
+
+    def generate(self, params, ctx: GraphContext, x, y, y2, rng):
+        """Full CVAE forward. Returns (x_hat, z_mean, z_logvar, z)."""
+        z_mean, z_logvar = self.encode(params, ctx, x, y, y2)
+        z = self.sample_z(rng, z_mean, z_logvar)
+        z_total = jnp.concatenate([z, y, y2], axis=-1)
+        x_hat = self.decode(params, ctx, z_total, y, y2)
+        return x_hat, z_mean, z_logvar, z
+
+    # --------------------------------------------------------- discriminator
+    def discriminate(self, params: dict, ctx: GraphContext, x, y, y2):
+        """Per-vertex real/fake logits on the coarsest ds2 level
+        [B, 431, 1] (lib/models.py:648-678)."""
+        cfg = self.cfg
+        disc = params["discriminator"]
+        x = blocks.concat_conditions(x.astype(self.dtype), y, y2)
+        for i in range(len(ctx.down_d)):
+            x = blocks.conv_block_apply(
+                disc[f"layer{i}"], x, ctx.lap_d[i], ctx.down_d[i], self.act
+            )
+        return cheb_conv(x, ctx.lap_d[-1], disc["pred"]["w"])

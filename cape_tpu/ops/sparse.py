@@ -1,0 +1,189 @@
+"""Device-side sparse operators over fixed mesh topology.
+
+Converts host scipy matrices (cape_tpu.meshops) into jit-friendly pytrees.
+Three operator flavors, all with the same apply contract
+`op(x: [..., n_cols, C]) -> [..., n_rows, C]`:
+
+  IdentityOp — factor-1 pyramid levels ship identity D/U; skip them.
+  EllOp      — fixed-width row gather: y[r] = sum_w val[r,w] * x[idx[r,w]].
+               Memory-bound, tiny; the default for all pyramid matrices
+               (max row width 11 for Laplacians, 3 for upsamples, 1 for
+               downsample selections, which reduce to a pure gather).
+  DenseOp    — materialized dense matmul on the MXU; profitable only for
+               small levels or very wide channel counts.
+
+`GraphContext` bundles the per-level operators plus the geometry constants
+(template verts, edge table, loss mask) that the model and losses need,
+as one pytree passed into jitted functions.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+from flax import struct
+
+from cape_tpu.meshops.pyramid import MeshPyramid
+
+
+@struct.dataclass
+class IdentityOp:
+    n_rows: int = struct.field(pytree_node=False)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return x
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_rows)
+
+
+@struct.dataclass
+class EllOp:
+    """Fixed-width (ELL) sparse matrix: per-row padded neighbor ids + weights."""
+
+    idx: jnp.ndarray                                  # [rows, width] int32
+    val: jnp.ndarray | None                           # [rows, width] or None for selection
+    n_cols: int = struct.field(pytree_node=False)
+    select: bool = struct.field(pytree_node=False, default=False)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.select:
+            return jnp.take(x, self.idx[:, 0], axis=-2)
+        rows, width = self.idx.shape
+        g = jnp.take(x, self.idx.reshape(-1), axis=-2)
+        g = g.reshape(x.shape[:-2] + (rows, width) + x.shape[-1:])
+        val = self.val.astype(x.dtype)
+        return jnp.einsum("rw,...rwc->...rc", val, g)
+
+    @property
+    def shape(self):
+        return (self.idx.shape[0], self.n_cols)
+
+
+@struct.dataclass
+class DenseOp:
+    """Materialized dense matrix apply (MXU path)."""
+
+    mat: jnp.ndarray                                  # [rows, cols]
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jnp.einsum(
+            "rc,...cf->...rf", self.mat.astype(x.dtype), x,
+            preferred_element_type=x.dtype,
+        )
+
+    @property
+    def shape(self):
+        return self.mat.shape
+
+
+def _is_identity(m: sp.spmatrix) -> bool:
+    m = sp.csr_matrix(m)
+    if m.shape[0] != m.shape[1] or m.nnz != m.shape[0]:
+        return False
+    coo = m.tocoo()
+    return bool(np.all(coo.row == coo.col) and np.allclose(coo.data, 1.0))
+
+
+def ell_from_scipy(m: sp.spmatrix, dtype=jnp.float32, pad_width: int | None = None) -> EllOp:
+    """Pack a scipy sparse matrix into padded ELL (gather) form.
+
+    Padded slots point at row 0 with weight 0 so gathers stay in bounds.
+    Selection matrices (one unit entry per row) collapse to a pure gather.
+    """
+    csr = sp.csr_matrix(m)
+    rows, cols = csr.shape
+    row_nnz = np.diff(csr.indptr)
+    width = int(max(1, row_nnz.max() if rows else 1))
+    if pad_width is not None:
+        width = max(width, pad_width)
+
+    select = bool(width == 1 and np.all(row_nnz == 1) and np.allclose(csr.data, 1.0))
+    idx = np.zeros((rows, width), dtype=np.int32)
+    val = np.zeros((rows, width), dtype=np.float32)
+    for r in range(rows):
+        lo, hi = csr.indptr[r], csr.indptr[r + 1]
+        n = hi - lo
+        idx[r, :n] = csr.indices[lo:hi]
+        val[r, :n] = csr.data[lo:hi]
+    if select:
+        return EllOp(idx=jnp.asarray(idx), val=None, n_cols=cols, select=True)
+    return EllOp(
+        idx=jnp.asarray(idx), val=jnp.asarray(val, dtype=dtype), n_cols=cols
+    )
+
+
+def dense_from_scipy(m: sp.spmatrix, dtype=jnp.float32) -> DenseOp:
+    return DenseOp(mat=jnp.asarray(sp.csr_matrix(m).toarray(), dtype=dtype))
+
+
+def make_op(m: sp.spmatrix, mode: str = "auto", dtype=jnp.float32):
+    """Pick the device representation for a host sparse matrix.
+
+    mode: 'auto' | 'ell' | 'dense'. 'auto' detects identities and otherwise
+    uses ELL — on TPU the gather formulation wins for every SMPL pyramid
+    level (see bench.py history); DenseOp is kept for A/B benchmarking.
+    """
+    if mode == "auto" and _is_identity(m):
+        return IdentityOp(n_rows=m.shape[0])
+    if mode == "dense":
+        return dense_from_scipy(m, dtype)
+    return ell_from_scipy(m, dtype)
+
+
+@struct.dataclass
+class GraphContext:
+    """All mesh constants a CAPE forward/backward needs, as one pytree.
+
+    lap / down / up: per-level operators of the VAE pyramid.
+    lap_d / down_d: operators of the discriminator (ds2) pyramid.
+    edges: [E, 2] int32 template edge table (edge loss).
+    template_verts: [V, 3] template vertex positions.
+    loss_mask: [V] or scalar 1.0 per-vertex loss weights.
+    level_sizes: static per-level vertex counts.
+    """
+
+    lap: tuple
+    down: tuple
+    up: tuple
+    lap_d: tuple
+    down_d: tuple
+    edges: jnp.ndarray
+    template_verts: jnp.ndarray
+    loss_mask: jnp.ndarray
+    level_sizes: tuple = struct.field(pytree_node=False)
+    level_sizes_d: tuple = struct.field(pytree_node=False)
+
+
+def build_graph_context(
+    pyramid: MeshPyramid,
+    disc_pyramid: MeshPyramid,
+    edges: np.ndarray,
+    template_verts: np.ndarray,
+    loss_mask: np.ndarray | float = 1.0,
+    mode: str = "auto",
+    dtype: Any = jnp.float32,
+) -> GraphContext:
+    laps = [make_op(L, mode, dtype) for L in pyramid.scaled_laplacians()]
+    downs = [make_op(D, mode, dtype) for D in pyramid.downsamples]
+    ups = [make_op(U, mode, dtype) for U in pyramid.upsamples]
+    laps_d = [make_op(L, mode, dtype) for L in disc_pyramid.scaled_laplacians()]
+    downs_d = [make_op(D, mode, dtype) for D in disc_pyramid.downsamples]
+    mask = jnp.asarray(loss_mask, dtype=jnp.float32)
+    return GraphContext(
+        lap=tuple(laps),
+        down=tuple(downs),
+        up=tuple(ups),
+        lap_d=tuple(laps_d),
+        down_d=tuple(downs_d),
+        edges=jnp.asarray(edges, dtype=jnp.int32),
+        template_verts=jnp.asarray(template_verts, dtype=jnp.float32),
+        loss_mask=mask,
+        level_sizes=tuple(pyramid.level_sizes),
+        level_sizes_d=tuple(disc_pyramid.level_sizes),
+    )

@@ -1,0 +1,92 @@
+"""Device mesh and data-parallel sharding — the framework's single
+communication seam.
+
+The reference is single-process single-GPU with no distributed backend
+(SURVEY §2c); parallelism here is by design: batch data parallelism over a
+1-D `jax.sharding.Mesh`, with parameters/optimizer state replicated and
+the batch axis sharded. Gradient all-reduce is *not* hand-written: the
+per-device partial sums flow through XLA's sharding propagation, which
+inserts the psum over ICI. If model parallelism were ever needed, this
+module is where additional mesh axes would attach.
+
+Multi-chip behavior is testable without hardware via
+XLA_FLAGS=--xla_force_host_platform_device_count=N (see tests/conftest.py
+and __graft_entry__.dryrun_multichip).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: int = 0, devices=None) -> Mesh:
+    """1-D data-parallel mesh over the first n (default: all) local devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_devices and n_devices > 0:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+class DataParallel:
+    """Owns the mesh and the sharding rules for CAPE training.
+
+    batch tensors  -> sharded on leading axis over DATA_AXIS
+    everything else (params, opt state, graph constants, rng) -> replicated
+    """
+
+    def __init__(self, n_devices: int = 0, devices=None):
+        self.mesh = make_mesh(n_devices, devices)
+        self.batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        self.replicated = NamedSharding(self.mesh, P())
+
+    @property
+    def num_devices(self) -> int:
+        return self.mesh.devices.size
+
+    def shard_batch(self, batch: Any) -> Any:
+        """Device_put a host batch with the leading axis split across the mesh."""
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, self.batch_sharding), batch
+        )
+
+    def replicate(self, tree: Any) -> Any:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, self.replicated), tree
+        )
+
+    def compile_train_step(self, step_fn):
+        """jit the train step with DP shardings pinned on the batch argument."""
+        return jax.jit(
+            step_fn,
+            in_shardings=(
+                self.replicated,            # state
+                self.replicated,            # graph context
+                self.batch_sharding,        # batch
+                self.replicated,            # rng
+            ),
+            out_shardings=(self.replicated, self.replicated),
+            donate_argnums=(0,),
+        )
+
+    def compile_eval_step(self, eval_fn):
+        return jax.jit(
+            eval_fn,
+            in_shardings=(
+                self.replicated,
+                self.replicated,
+                self.batch_sharding,
+                self.replicated,
+            ),
+            out_shardings=(self.batch_sharding, self.replicated),
+        )
+
+    def pad_batch_size(self, global_batch: int) -> int:
+        """Round a global batch up to a multiple of the mesh size."""
+        n = self.num_devices
+        return ((global_batch + n - 1) // n) * n

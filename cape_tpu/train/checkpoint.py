@@ -1,0 +1,69 @@
+"""Single-pytree checkpointing (params + optimizer state + step).
+
+Replaces the reference's tf.train.Saver flow (lib/models.py:351,869,924:
+save every epoch, keep 5, restore-latest). Format: one .npz per
+checkpoint keyed by jax keypath strings — dependency-free, works for any
+pytree (dicts, tuples, flax struct dataclasses like TrainState), and
+doubles as the interchange format for the TF-checkpoint converter
+(tools/tf_ckpt_converter.py).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import jax
+import numpy as np
+
+
+def flatten_tree(tree) -> dict[str, np.ndarray]:
+    """pytree -> {keypath string: ndarray}."""
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {jax.tree_util.keystr(path): np.asarray(jax.device_get(leaf)) for path, leaf in flat}
+
+
+def unflatten_tree(flat: dict[str, np.ndarray], template):
+    """Restore a {keypath: ndarray} dict into the structure of `template`."""
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, leaf in paths_leaves:
+        key = jax.tree_util.keystr(path)
+        if key not in flat:
+            raise KeyError(f"checkpoint missing key {key!r}")
+        ref = np.asarray(leaf)
+        leaves.append(np.asarray(flat[key]).astype(ref.dtype).reshape(ref.shape))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_checkpoint(ckpt_dir: str, tree, step: int, keep: int = 5) -> str:
+    """Write state at `step`, pruning to the newest `keep` checkpoints."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, f"ckpt_{step:010d}.npz")
+    np.savez(path, **flatten_tree(tree))
+    if keep > 0:
+        existing = sorted(
+            f for f in os.listdir(ckpt_dir) if re.fullmatch(r"ckpt_\d+\.npz", f)
+        )
+        for old in existing[:-keep]:
+            os.remove(os.path.join(ckpt_dir, old))
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str) -> str | None:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    existing = sorted(
+        f for f in os.listdir(ckpt_dir) if re.fullmatch(r"ckpt_\d+\.npz", f)
+    )
+    return os.path.join(ckpt_dir, existing[-1]) if existing else None
+
+
+def restore_checkpoint(path: str, template):
+    with np.load(path, allow_pickle=False) as data:
+        return unflatten_tree(dict(data), template)
+
+
+def checkpoint_step(path: str) -> int:
+    m = re.search(r"ckpt_(\d+)\.npz$", path)
+    return int(m.group(1)) if m else 0

@@ -1,0 +1,125 @@
+"""Jitted train / eval steps.
+
+One fused XLA program per step: generator forward, two discriminator
+applications (real / fake), both losses, both gradient sets, both
+optimizer updates. This replaces the reference's two feed_dict-driven
+`sess.run` calls per step (lib/models.py:905-906) and resolves its
+double-update quirk to the intent: exactly one G and one D update per
+step, one global-step increment (SURVEY quirk #2).
+
+GAN alternation semantics: both gradient sets are evaluated at the current
+params (simultaneous update). The shared forward computation between
+loss_g and loss_d is CSE'd by XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from cape_tpu import losses
+from cape_tpu.core.config import CAPEConfig
+from cape_tpu.models.cape import CAPE
+from cape_tpu.ops.sparse import GraphContext
+from cape_tpu.train.optim import TrainState
+
+
+def _forward_losses(model: CAPE, cfg: CAPEConfig, params, ctx: GraphContext, batch, rng):
+    """Shared forward pass producing every loss term."""
+    y_g, y2_g = model.embed_conditions(params, batch["pose_g"], batch["clo_g"])
+    y_d, y2_d = model.embed_conditions(params, batch["pose_d"], batch["clo_d"])
+
+    x_hat, z_mean, z_logvar, _ = model.generate(
+        params, ctx, batch["disp_g"], y_g, y2_g, rng
+    )
+    d_real = model.discriminate(params, ctx, batch["disp_d"], y_d, y2_d)
+    d_fake = model.discriminate(params, ctx, x_hat, y_g, y2_g)
+
+    gt = batch["disp_g"].astype(x_hat.dtype)
+    mask = ctx.loss_mask if ctx.loss_mask.ndim > 0 else None
+    recon = losses.reconstruction_loss(x_hat, gt, mask=mask, kind=cfg.loss)
+    kl = losses.kl_loss(z_mean, z_logvar)
+    edge = losses.edge_loss(x_hat, gt, ctx.edges)
+    gan_g = losses.gan_generator_loss(d_fake)
+    gan_d = losses.gan_discriminator_loss(d_real, d_fake)
+    reg_g = losses.regularization_scale(cfg.regularization) * losses.generator_fc_l2(params)
+
+    loss_g = (
+        cfg.lambda_gan * gan_g
+        + cfg.lambda_recon * recon
+        + cfg.lambda_edge * edge
+        + cfg.lambda_latent * kl
+        + reg_g
+    )
+    loss_d = cfg.lambda_gan * gan_d  # reg_d == 0 in the reference (see losses.py)
+
+    metrics = {
+        "loss_g": loss_g,
+        "loss_d": loss_d,
+        "recon": recon,
+        "kl": kl,
+        "edge": edge,
+        "gan_g": gan_g,
+        "gan_d": gan_d,
+        "reg_g": reg_g,
+    }
+    return loss_g, loss_d, metrics
+
+
+def build_train_step(model: CAPE, cfg: CAPEConfig, tx):
+    """Returns step_fn(state, ctx, batch, rng) -> (state, metrics)."""
+
+    def loss_g_fn(params, ctx, batch, rng):
+        loss_g, _, metrics = _forward_losses(model, cfg, params, ctx, batch, rng)
+        return loss_g, metrics
+
+    def loss_d_fn(params, ctx, batch, rng):
+        _, loss_d, _ = _forward_losses(model, cfg, params, ctx, batch, rng)
+        return loss_d
+
+    def step_fn(state: TrainState, ctx: GraphContext, batch: dict, rng: jax.Array):
+        (_, metrics), grads_g = jax.value_and_grad(loss_g_fn, has_aux=True)(
+            state.params, ctx, batch, rng
+        )
+        grads_d = jax.grad(loss_d_fn)(state.params, ctx, batch, rng)
+
+        # stitch: G-labelled subtrees take grads_g, D-labelled take grads_d
+        grads = dict(grads_g)
+        grads["discriminator"] = grads_d["discriminator"]
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u.astype(p.dtype), state.params, updates
+        )
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state
+        )
+        return new_state, metrics
+
+    return step_fn
+
+
+def build_eval_step(model: CAPE, cfg: CAPEConfig):
+    """Returns eval_fn(params, ctx, batch, rng) -> (pred, metrics).
+
+    Mirrors the reference's `predict` losses (lib/models.py:1018-1092):
+    reconstruction through the sampled-z path, KL, edge.
+    """
+
+    def eval_fn(params, ctx: GraphContext, batch: dict, rng: jax.Array):
+        y, y2 = model.embed_conditions(params, batch["pose"], batch["clo"])
+        x_hat, z_mean, z_logvar, _ = model.generate(
+            params, ctx, batch["disp"], y, y2, rng
+        )
+        gt = batch["disp"].astype(x_hat.dtype)
+        mask = ctx.loss_mask if ctx.loss_mask.ndim > 0 else None
+        metrics = {
+            "recon": losses.reconstruction_loss(x_hat, gt, mask=mask, kind=cfg.loss),
+            "kl": losses.kl_loss(z_mean, z_logvar),
+            "edge": losses.edge_loss(x_hat, gt, ctx.edges),
+        }
+        return x_hat.astype(jnp.float32), metrics
+
+    return eval_fn

@@ -1,0 +1,108 @@
+"""Model-level tests: shapes, jit-ability, architecture parity facts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cape_tpu.core.config import CAPEConfig
+from cape_tpu.meshops import assets
+from cape_tpu.models.cape import CAPE, _cond_hidden_width
+from cape_tpu.ops.sparse import build_graph_context
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    pyr = assets.load_pyramid("for_demo")
+    pyr_d = assets.load_pyramid("ds2")
+    verts, _ = assets.template_mesh()
+    return build_graph_context(pyr, pyr_d, assets.smpl_edges(), verts)
+
+
+def _inputs(cfg, B, seed=0):
+    rng = np.random.default_rng(seed)
+    return (
+        jnp.asarray(rng.standard_normal((B, 6890, 3)), jnp.float32),
+        jnp.asarray(rng.standard_normal((B, cfg.cond_dim)), jnp.float32),
+        jnp.asarray(np.eye(4, dtype=np.float32)[rng.integers(0, 4, B)]),
+    )
+
+
+CONFIGS = {
+    "small_plain": CAPEConfig(
+        nz=18, nz_cond=24, nz_cond2=8, use_res_block=False,
+        use_res_block_dec=False, affine=False, reduce_dim=64, batch_size=2,
+    ),
+    "flagship_affine": CAPEConfig(
+        nz=64, nz_cond=32, nz_cond2=32, use_res_block=False,
+        use_res_block_dec=True, affine=True, reduce_dim=64, batch_size=2,
+    ),
+    "res_cmr": CAPEConfig(
+        nz=18, nz_cond=24, nz_cond2=8, use_res_block=True,
+        use_res_block_dec=True, affine=False, reduce_dim=4,
+        cond_encoder=True, batch_size=2,
+    ),
+}
+
+
+@pytest.mark.parametrize("name", list(CONFIGS))
+def test_forward_shapes(ctx, name):
+    cfg = CONFIGS[name]
+    model = CAPE(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), ctx)
+    x, pose, clo = _inputs(cfg, 2)
+
+    y, y2 = model.embed_conditions(params, pose, clo)
+    assert y.shape == (2, cfg.nz_cond) and y2.shape == (2, cfg.nz_cond2)
+
+    @jax.jit
+    def fwd(params, x, pose, clo, rng):
+        y, y2 = model.embed_conditions(params, pose, clo)
+        x_hat, z_mean, z_logvar, z = model.generate(params, ctx, x, y, y2, rng)
+        d = model.discriminate(params, ctx, x_hat, y, y2)
+        return x_hat, z_mean, z_logvar, d
+
+    x_hat, z_mean, z_logvar, d = fwd(params, x, pose, clo, jax.random.PRNGKey(1))
+    assert x_hat.shape == (2, 6890, 3)
+    assert z_mean.shape == (2, cfg.nz) and z_logvar.shape == (2, cfg.nz)
+    assert d.shape == (2, 431, 1)
+    assert np.all(np.isfinite(np.asarray(x_hat)))
+
+
+def test_decode_deterministic(ctx):
+    cfg = CONFIGS["flagship_affine"]
+    model = CAPE(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), ctx)
+    _, pose, clo = _inputs(cfg, 2)
+    y, y2 = model.embed_conditions(params, pose, clo)
+    z = jnp.asarray(np.random.default_rng(0).standard_normal((2, cfg.nz)), jnp.float32)
+    zt = jnp.concatenate([z, y, y2], axis=-1)
+    out1 = model.decode(params, ctx, zt, y, y2)
+    out2 = model.decode(params, ctx, zt, y, y2)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_cond_hidden_width_heuristic():
+    # reference lib/models.py:498-503
+    assert _cond_hidden_width(126, 32) == 63    # nz < y//2
+    assert _cond_hidden_width(126, 24) == 63
+    assert _cond_hidden_width(8, 8) == 8        # y//2 <= nz < 2y
+    assert _cond_hidden_width(4, 32) == 16      # nz >= 2y
+
+def test_reparam_statistics(ctx):
+    cfg = CONFIGS["small_plain"]
+    model = CAPE(cfg)
+    mean = jnp.ones((4096, cfg.nz)) * 2.0
+    logvar = jnp.zeros((4096, cfg.nz))
+    z = model.sample_z(jax.random.PRNGKey(0), mean, logvar)
+    assert abs(float(jnp.mean(z)) - 2.0) < 0.05
+    assert abs(float(jnp.std(z)) - 1.0) < 0.05
+
+
+def test_param_counts_scale_with_config(ctx):
+    small = CAPE(CONFIGS["small_plain"])
+    big = CAPE(CONFIGS["flagship_affine"])
+    p_small = small.init_params(jax.random.PRNGKey(0), ctx)
+    p_big = big.init_params(jax.random.PRNGKey(0), ctx)
+    n = lambda p: sum(x.size for x in jax.tree_util.tree_leaves(p))
+    assert n(p_big) > n(p_small)

@@ -1,0 +1,118 @@
+"""On-device op tests against scipy/numpy oracles (SURVEY §4 implication 2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from cape_tpu.meshops import assets
+from cape_tpu.meshops.laplacian import scaled_adjacency
+from cape_tpu.ops.cheb import cheb_conv
+from cape_tpu.ops.norm import group_norm
+from cape_tpu.ops.sparse import (
+    DenseOp,
+    IdentityOp,
+    dense_from_scipy,
+    ell_from_scipy,
+    make_op,
+)
+
+
+def _random_sparse(rows, cols, density, seed):
+    rng = np.random.default_rng(seed)
+    m = sp.random(rows, cols, density=density, random_state=np.random.RandomState(seed))
+    return sp.csr_matrix(m)
+
+
+def test_ell_matches_scipy():
+    m = _random_sparse(50, 40, 0.1, 0)
+    op = ell_from_scipy(m)
+    x = np.random.default_rng(1).standard_normal((3, 40, 7)).astype(np.float32)
+    got = np.asarray(op(jnp.asarray(x)))
+    want = np.einsum("rc,bcf->brf", m.toarray(), x)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_ell_selection_fast_path():
+    # a pure selection matrix collapses to a gather
+    sel = sp.csr_matrix(
+        (np.ones(3), (np.arange(3), [5, 2, 7])), shape=(3, 10)
+    )
+    op = ell_from_scipy(sel)
+    assert op.select
+    x = np.arange(10 * 2, dtype=np.float32).reshape(1, 10, 2)
+    got = np.asarray(op(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, x[:, [5, 2, 7]])
+
+
+def test_dense_matches_ell():
+    m = _random_sparse(30, 30, 0.2, 2)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((2, 30, 5)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(ell_from_scipy(m)(x)),
+        np.asarray(dense_from_scipy(m)(x)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_make_op_detects_identity():
+    assert isinstance(make_op(sp.identity(8, format="csr")), IdentityOp)
+    assert not isinstance(make_op(_random_sparse(8, 8, 0.3, 4)), IdentityOp)
+    assert isinstance(make_op(sp.identity(8, format="csr"), mode="dense"), DenseOp)
+
+
+def test_cheb_conv_matches_reference_formulation(template):
+    """Our accumulate-per-order conv == the reference's concat-then-matmul
+    (lib/models.py:69-103) on the real SMPL Laplacian."""
+    verts, faces = template
+    from cape_tpu.meshops.topology import vert_connectivity
+
+    A = vert_connectivity(faces, len(verts))
+    Lt = scaled_adjacency(A)                       # rescaled Laplacian
+    lap = ell_from_scipy(Lt)
+
+    rng = np.random.default_rng(5)
+    B, V, Fin, Fout, K = 2, len(verts), 3, 4, 3
+    x = rng.standard_normal((B, V, Fin)).astype(np.float32)
+    W = rng.standard_normal((K, Fin, Fout)).astype(np.float32) * 0.1
+
+    got = np.asarray(cheb_conv(jnp.asarray(x), lap, jnp.asarray(W)))
+
+    # numpy oracle: the reference's basis construction
+    Ld = Lt.toarray()
+    x0 = x
+    x1 = np.einsum("vu,buf->bvf", Ld, x0)
+    x2 = 2 * np.einsum("vu,buf->bvf", Ld, x1) - x0
+    want = (
+        np.einsum("bvf,fo->bvo", x0, W[0])
+        + np.einsum("bvf,fo->bvo", x1, W[1])
+        + np.einsum("bvf,fo->bvo", x2, W[2])
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_group_norm_matches_oracle():
+    rng = np.random.default_rng(7)
+    B, V, C, G = 2, 11, 8, 4
+    x = rng.standard_normal((B, V, C)).astype(np.float32)
+    gamma = rng.standard_normal(C).astype(np.float32)
+    beta = rng.standard_normal(C).astype(np.float32)
+    got = np.asarray(group_norm(jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta), num_groups=G))
+
+    # oracle following the reference layout (lib/models.py:693-709)
+    xt = np.transpose(x, (0, 2, 1)).reshape(B, G, C // G, V)
+    mean = xt.mean(axis=(2, 3), keepdims=True)
+    var = xt.var(axis=(2, 3), keepdims=True)
+    xn = (xt - mean) / np.sqrt(var + 1e-5)
+    out = xn.reshape(B, C, V) * gamma[None, :, None] + beta[None, :, None]
+    want = np.transpose(out, (0, 2, 1))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_shipped_laplacian_is_negated_adjacency():
+    pyr = assets.load_pyramid("ds2")
+    Lt = pyr.scaled_laplacians()[0]
+    A = sp.csr_matrix(pyr.adjacencies[0])
+    # sparsity pattern identical to adjacency, all entries negative
+    assert (abs(Lt) > 0).sum() == A.nnz
+    assert Lt.data.max() < 0
