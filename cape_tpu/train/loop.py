@@ -1,0 +1,176 @@
+"""The training loop.
+
+Replaces the reference's feed_dict session loop (lib/models.py:837-929)
+with: device-resident graph constants, one fused jitted G+D step, epoch
+validation, npz checkpointing with resume, and JSONL metrics. Restart
+semantics follow the reference: restart=True wipes the run directory,
+restart=False resumes from the latest checkpoint continuing the step
+counter (lib/models.py:852-866).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import jax
+import numpy as np
+
+from cape_tpu.core.config import CAPEConfig
+from cape_tpu.data.loader import BatchStream, BodyData, make_gan_batch
+from cape_tpu.models.cape import CAPE
+from cape_tpu.ops.sparse import GraphContext
+from cape_tpu.parallel.mesh import DataParallel
+from cape_tpu.train import checkpoint as ckpt
+from cape_tpu.train.metrics import MetricsLogger
+from cape_tpu.train.optim import build_optimizer, create_train_state
+from cape_tpu.train.step import build_eval_step, build_train_step
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: CAPEConfig,
+        model: CAPE,
+        ctx: GraphContext,
+        data: BodyData,
+        workdir: str = "results",
+        dp: DataParallel | None = None,
+    ):
+        if not cfg.name:
+            raise ValueError("config.name must be set (run/checkpoint identity)")
+        self.cfg = cfg
+        self.model = model
+        self.data = data
+        self.dp = dp or DataParallel(cfg.data_parallel)
+        self.run_dir = os.path.join(workdir, cfg.name)
+        self.ckpt_dir = os.path.join(self.run_dir, "checkpoints")
+
+        n_train = len(data.disp_train)
+        self.steps_per_epoch = max(n_train // cfg.batch_size, 1)
+        self.num_steps = cfg.num_epochs * self.steps_per_epoch
+
+        self.tx, self.sched_g, self.sched_d = build_optimizer(cfg, self.steps_per_epoch)
+        self.step_jit = self.dp.compile_train_step(build_train_step(model, cfg, self.tx))
+        self.eval_jit = self.dp.compile_eval_step(build_eval_step(model, cfg))
+        self.ctx = self.dp.replicate(ctx)
+
+    # ------------------------------------------------------------------
+    def init_or_restore(self, rng: jax.Array):
+        params = self.model.init_params(rng, self.ctx)
+        state = create_train_state(params, self.tx)
+        if self.cfg.restart:
+            shutil.rmtree(self.run_dir, ignore_errors=True)
+            os.makedirs(self.ckpt_dir, exist_ok=True)
+        else:
+            latest = ckpt.latest_checkpoint(self.ckpt_dir)
+            if latest is not None:
+                state = ckpt.restore_checkpoint(latest, jax.device_get(state))
+                print(f"resumed from {latest} at step {int(state.step)}", flush=True)
+        return self.dp.replicate(state)
+
+    # ------------------------------------------------------------------
+    def fit(self, seed: int | None = None):
+        """Train for cfg.num_epochs. Returns (val recon losses, sec/step)."""
+        cfg = self.cfg
+        seed = cfg.seed if seed is None else seed
+        rng = jax.random.PRNGKey(seed)
+        state = self.init_or_restore(rng)
+        start_step = int(jax.device_get(state.step))
+
+        logger = MetricsLogger(self.run_dir)
+        stream_g = BatchStream(len(self.data.disp_train), cfg.batch_size, seed)
+        stream_d = BatchStream(len(self.data.disp_train), cfg.batch_size, seed + 1)
+
+        val_losses = []
+        t_start = time.time()
+        for step in range(start_step, start_step + self.num_steps):
+            batch = self.dp.shard_batch(
+                make_gan_batch(self.data, stream_g, stream_d)
+            )
+            step_rng = jax.random.fold_in(rng, step)
+            state, metrics = self.step_jit(state, self.ctx, batch, step_rng)
+
+            if cfg.log_every_steps and step % cfg.log_every_steps == 0:
+                m = jax.device_get(metrics)
+                logger.log(step, {k: float(v) for k, v in m.items()})
+
+            is_epoch_end = (step + 1 - start_step) % self.steps_per_epoch == 0
+            if is_epoch_end or step + 1 == start_step + self.num_steps:
+                epoch = (step + 1 - start_step) // self.steps_per_epoch
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                m["loss_g_ema"] = logger.ema_g.update(m["loss_g"])
+                m["loss_d_ema"] = logger.ema_d.update(m["loss_d"])
+                val = self.evaluate(
+                    "val", state=state, rng=jax.random.fold_in(rng, 1_000_000_000 + epoch)
+                )
+                val_losses.append(val["recon"])
+                m.update({f"val_{k}": v for k, v in val.items()})
+                m["epoch"] = epoch
+                m["lr_g"] = float(self.sched_g(step))
+                m["sec_per_step"] = (time.time() - t_start) / max(step + 1 - start_step, 1)
+                logger.log(step, m, echo=True)
+                ckpt.save_checkpoint(
+                    self.ckpt_dir, jax.device_get(state), step + 1, keep=cfg.checkpoint_keep
+                )
+
+        logger.close()
+        t_step = (time.time() - t_start) / max(self.num_steps, 1)
+        self.state = state
+        return val_losses, t_step
+
+    # ------------------------------------------------------------------
+    def evaluate(self, split: str = "val", state=None, rng=None) -> dict:
+        """Batched eval over a split; partial tail batch is padded and its
+        metrics weighted by true sample count (fixes the reference's
+        dropped-tail-batch quirk, lib/models.py:1083-1088)."""
+        cfg = self.cfg
+        state = state if state is not None else getattr(self, "state", None)
+        params = state.params if state is not None else None
+        if params is None:
+            raise ValueError("no trained state available")
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        disp, pose, clo = self.data.split(split)
+        n = len(disp)
+        bs = cfg.batch_size
+        totals: dict[str, float] = {}
+        count = 0
+        for begin in range(0, n, bs):
+            end = min(begin + bs, n)
+            pad = bs - (end - begin)
+            batch = {
+                "disp": np.concatenate([disp[begin:end], np.zeros((pad,) + disp.shape[1:], disp.dtype)]),
+                "pose": np.concatenate([pose[begin:end], np.zeros((pad,) + pose.shape[1:], pose.dtype)]),
+                "clo": np.concatenate([clo[begin:end], np.zeros((pad,) + clo.shape[1:], clo.dtype)]),
+            }
+            batch = self.dp.shard_batch(batch)
+            _, metrics = self.eval_jit(params, self.ctx, batch, jax.random.fold_in(rng, begin))
+            w = end - begin
+            for k, v in jax.device_get(metrics).items():
+                totals[k] = totals.get(k, 0.0) + float(v) * w
+            count += w
+        return {k: v / max(count, 1) for k, v in totals.items()}
+
+    # ------------------------------------------------------------------
+    def predict(self, disp, pose, clo, state=None, rng=None) -> np.ndarray:
+        """Batched full-dataset autoencoding forward (reference predict,
+        lib/models.py:1018-1092). Returns normalized-space predictions."""
+        cfg = self.cfg
+        state = state if state is not None else self.state
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        n = len(disp)
+        bs = cfg.batch_size
+        outs = []
+        for begin in range(0, n, bs):
+            end = min(begin + bs, n)
+            pad = bs - (end - begin)
+            batch = {
+                "disp": np.concatenate([disp[begin:end], np.zeros((pad,) + disp.shape[1:], disp.dtype)]),
+                "pose": np.concatenate([pose[begin:end], np.zeros((pad,) + pose.shape[1:], pose.dtype)]),
+                "clo": np.concatenate([clo[begin:end], np.zeros((pad,) + clo.shape[1:], clo.dtype)]),
+            }
+            batch = self.dp.shard_batch(batch)
+            pred, _ = self.eval_jit(state.params, self.ctx, batch, jax.random.fold_in(rng, begin))
+            outs.append(np.asarray(jax.device_get(pred))[: end - begin])
+        return np.concatenate(outs, axis=0)

@@ -1,0 +1,183 @@
+"""Training-stack tests: step mechanics, convergence on synthetic data,
+data-parallel equivalence, checkpoint roundtrip, schedules (SURVEY §4
+implications 4 and 5)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cape_tpu.core.config import CAPEConfig
+from cape_tpu.data.loader import BatchStream, make_gan_batch
+from cape_tpu.data.synthetic import synthetic_bodydata
+from cape_tpu.meshops.pyramid import build_pyramid
+from cape_tpu.meshops.topology import vertices_per_edge
+from cape_tpu.models.cape import CAPE
+from cape_tpu.ops.sparse import build_graph_context
+from cape_tpu.parallel.mesh import DataParallel
+from cape_tpu.train import checkpoint as ckpt
+from cape_tpu.train.loop import Trainer
+from cape_tpu.train.optim import build_optimizer, create_train_state
+from cape_tpu.train.schedules import cape_schedule
+from cape_tpu.train.step import build_train_step
+
+
+@pytest.fixture(scope="module")
+def tiny(small_mesh):
+    """Tiny end-to-end setup: icosphere pyramid + synthetic data."""
+    verts, faces = small_mesh
+    nv = len(verts)
+    cfg = CAPEConfig(
+        name="tiny_test", nf=4, nz=8, nz_cond=8, nz_cond2=4,
+        use_res_block=False, use_res_block_dec=True, affine=True,
+        reduce_dim=8, batch_size=8, num_epochs=4, lambda_edge=1.0,
+        lr=2e-3, optimizer="adam", data_parallel=1,
+    )
+    pyr = build_pyramid(verts, faces, cfg.ds_factors)
+    pyr_d = build_pyramid(verts, faces, [2, 2, 2, 2])
+    edges = vertices_per_edge(faces, nv)
+    ctx = build_graph_context(pyr, pyr_d, edges, verts)
+    data = synthetic_bodydata(
+        n_train=96, n_test=16, num_verts=nv, seed=0, n_val=16
+    )
+    return cfg, ctx, data
+
+
+def test_train_step_updates_params(tiny):
+    cfg, ctx, data = tiny
+    model = CAPE(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), ctx)
+    tx, _, _ = build_optimizer(cfg, steps_per_epoch=10)
+    state = create_train_state(params, tx)
+    step_fn = jax.jit(build_train_step(model, cfg, tx))
+
+    sg, sd = BatchStream(96 - 16, cfg.batch_size, 0), BatchStream(96 - 16, cfg.batch_size, 1)
+    batch = {k: jnp.asarray(v) for k, v in make_gan_batch(data, sg, sd).items()}
+    new_state, metrics = step_fn(state, ctx, batch, jax.random.PRNGKey(2))
+
+    assert int(new_state.step) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    # generator, condition nets and discriminator all moved
+    for group in ("generator", "cond_pose", "cond_clo", "discriminator"):
+        before = jax.tree_util.tree_leaves(state.params[group])
+        after = jax.tree_util.tree_leaves(new_state.params[group])
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(after, before)
+        ), f"{group} params did not change"
+
+
+def test_optim_condnet_flag_freezes_condition_nets(tiny):
+    cfg, ctx, data = tiny
+    cfg = cfg.replace(optim_condnet=False)
+    model = CAPE(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), ctx)
+    tx, _, _ = build_optimizer(cfg, steps_per_epoch=10)
+    state = create_train_state(params, tx)
+    step_fn = jax.jit(build_train_step(model, cfg, tx))
+    sg, sd = BatchStream(80, cfg.batch_size, 0), BatchStream(80, cfg.batch_size, 1)
+    batch = {k: jnp.asarray(v) for k, v in make_gan_batch(data, sg, sd).items()}
+    new_state, _ = step_fn(state, ctx, batch, jax.random.PRNGKey(2))
+    for group in ("cond_pose", "cond_clo"):
+        before = jax.tree_util.tree_leaves(state.params[group])
+        after = jax.tree_util.tree_leaves(new_state.params[group])
+        for a, b in zip(after, before):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_training_reduces_loss(tiny, tmp_path):
+    cfg, ctx, data = tiny
+    model = CAPE(cfg)
+    trainer = Trainer(cfg, model, ctx, data, workdir=str(tmp_path))
+    val_losses, t_step = trainer.fit()
+    assert len(val_losses) >= 2
+    assert val_losses[-1] < val_losses[0], f"no improvement: {val_losses}"
+    assert t_step > 0
+    # checkpoints written
+    assert ckpt.latest_checkpoint(trainer.ckpt_dir) is not None
+
+
+def test_resume_continues_step_counter(tiny, tmp_path):
+    cfg, ctx, data = tiny
+    model = CAPE(cfg)
+    t1 = Trainer(cfg, model, ctx, data, workdir=str(tmp_path))
+    t1.fit()
+    total = t1.num_steps
+    cfg2 = cfg.replace(restart=False, num_epochs=1)
+    t2 = Trainer(cfg2, model, ctx, data, workdir=str(tmp_path))
+    state = t2.init_or_restore(jax.random.PRNGKey(0))
+    assert int(jax.device_get(state.step)) == total
+
+
+def test_dp_equivalence_1_vs_8(tiny):
+    """Same batch, same rng: one device == eight virtual devices (SURVEY §4
+    implication 5)."""
+    cfg, ctx, data = tiny
+    model = CAPE(cfg)
+    params_host = jax.device_get(model.init_params(jax.random.PRNGKey(0), ctx))
+    tx, _, _ = build_optimizer(cfg, steps_per_epoch=10)
+
+    sg, sd = BatchStream(80, cfg.batch_size, 0), BatchStream(80, cfg.batch_size, 1)
+    batch = make_gan_batch(data, sg, sd)
+
+    results = []
+    for ndev in (1, 8):
+        dp = DataParallel(ndev)
+        step_fn = dp.compile_train_step(build_train_step(model, cfg, tx))
+        # fresh buffers per mesh: the jitted step donates its input state
+        params = jax.tree_util.tree_map(np.array, params_host)
+        state = dp.replicate(create_train_state(params, tx))
+        b = dp.shard_batch(batch)
+        new_state, metrics = step_fn(state, dp.replicate(ctx), b, jax.random.PRNGKey(3))
+        results.append(
+            (jax.device_get(new_state.params), jax.device_get(metrics))
+        )
+    p1, m1 = results[0]
+    p8, m8 = results[1]
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m8[k]), rtol=1e-4, atol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat8 = jax.tree_util.tree_leaves(p8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_checkpoint_roundtrip(tiny, tmp_path):
+    cfg, ctx, data = tiny
+    model = CAPE(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), ctx)
+    tx, _, _ = build_optimizer(cfg, steps_per_epoch=10)
+    state = create_train_state(params, tx)
+    path = ckpt.save_checkpoint(str(tmp_path), jax.device_get(state), step=7, keep=5)
+    restored = ckpt.restore_checkpoint(path, jax.device_get(state))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(state)),
+        jax.tree_util.tree_leaves(restored),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_keep_prunes(tmp_path):
+    tree = {"w": np.arange(3.0)}
+    for s in range(8):
+        ckpt.save_checkpoint(str(tmp_path), tree, step=s, keep=3)
+    files = sorted(os.listdir(tmp_path))
+    assert len(files) == 3
+    assert ckpt.checkpoint_step(ckpt.latest_checkpoint(str(tmp_path))) == 7
+
+
+def test_schedule_staircase_and_warmup():
+    # staircase: constant within an epoch window, 0.99x per window
+    s = cape_schedule(0.008, decay_steps=100, decay_rate=0.99, warmup_steps=0)
+    assert float(s(0)) == pytest.approx(0.008)
+    assert float(s(99)) == pytest.approx(0.008)
+    assert float(s(100)) == pytest.approx(0.008 * 0.99)
+    assert float(s(250)) == pytest.approx(0.008 * 0.99**2)
+    # warmup: linear ramp to base lr, then staircase from warmup end
+    w = cape_schedule(0.008, decay_steps=100, decay_rate=0.99, warmup_steps=800)
+    assert float(w(0)) == pytest.approx(0.0)
+    assert float(w(400)) == pytest.approx(0.004)
+    assert float(w(800)) == pytest.approx(0.008)
+    assert float(w(900)) == pytest.approx(0.008 * 0.99)
