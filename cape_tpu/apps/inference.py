@@ -1,0 +1,111 @@
+"""Batched inference engine: encode / decode / condition-embedding helpers.
+
+Replaces the reference's session-restoring batched loops
+(lib/models.py:931-1174: encode, encode_only_condition, predict, decode)
+with jitted fixed-batch functions plus host-side padding loops. Same
+contracts, including decode's one-condition-many-z broadcast
+(lib/models.py:1155-1158).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cape_tpu.models.cape import CAPE
+from cape_tpu.ops.sparse import GraphContext
+
+
+def _pad_to(arr: np.ndarray, n: int) -> np.ndarray:
+    pad = n - arr.shape[0]
+    if pad <= 0:
+        return arr[:n]
+    return np.concatenate([arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)])
+
+
+class InferenceEngine:
+    def __init__(self, model: CAPE, ctx: GraphContext, params: dict, batch_size: int = 16):
+        self.model = model
+        self.ctx = ctx
+        self.params = params
+        self.batch_size = batch_size
+
+        self._embed = jax.jit(model.embed_conditions)
+        self._encode = jax.jit(
+            lambda p, x, y, y2: model.encode(p, ctx, x, y, y2)
+        )
+        self._decode = jax.jit(
+            lambda p, zt, y, y2: model.decode(p, ctx, zt, y, y2)
+        )
+        self._discriminate = jax.jit(
+            lambda p, x, y, y2: model.discriminate(p, ctx, x, y, y2)
+        )
+
+    # ------------------------------------------------------------------
+    def _batched(self, fn, n: int, *arrays):
+        outs = None
+        bs = self.batch_size
+        for begin in range(0, n, bs):
+            end = min(begin + bs, n)
+            padded = [_pad_to(a[begin:end], bs) for a in arrays]
+            res = fn(*padded)
+            res = res if isinstance(res, tuple) else (res,)
+            res = [np.asarray(jax.device_get(r))[: end - begin] for r in res]
+            if outs is None:
+                outs = [[] for _ in res]
+            for o, r in zip(outs, res):
+                o.append(r)
+        return tuple(np.concatenate(o, axis=0) for o in outs)
+
+    # ------------------------------------------------------------------
+    def encode_only_condition(self, pose: np.ndarray, clo: np.ndarray):
+        """(pose [N,126], clo [N,4]) -> (y [N,nz_cond], y2 [N,nz_cond2])."""
+        pose = np.asarray(pose, np.float32)
+        clo = np.asarray(clo, np.float32)
+        return self._batched(
+            lambda p, c: self._embed(self.params, p, c), len(pose), pose, clo
+        )
+
+    def encode(self, disp: np.ndarray, pose: np.ndarray, clo: np.ndarray):
+        """Returns (z_mean, z_logvar, y, y2)."""
+        disp = np.asarray(disp, np.float32)
+        pose = np.asarray(pose, np.float32)
+        clo = np.asarray(clo, np.float32)
+
+        def fn(d, p, c):
+            y, y2 = self._embed(self.params, p, c)
+            zm, zl = self._encode(self.params, d, y, y2)
+            return zm, zl, y, y2
+
+        return self._batched(fn, len(disp), disp, pose, clo)
+
+    def decode(self, z_total: np.ndarray, y: np.ndarray, y2: np.ndarray):
+        """z_total [N, nz+nz_cond+nz_cond2] -> disp [N, V, 3]. y / y2 may
+        have one row (broadcast over all z, reference decode semantics)."""
+        z_total = np.asarray(z_total, np.float32)
+        n = len(z_total)
+        y = np.asarray(y, np.float32)
+        y2 = np.asarray(y2, np.float32)
+        if y.shape[0] == 1:
+            y = np.repeat(y, n, axis=0)
+        if y2.shape[0] == 1:
+            y2 = np.repeat(y2, n, axis=0)
+        (out,) = self._batched(
+            lambda z, a, b: self._decode(self.params, z, a, b), n, z_total, y, y2
+        )
+        return out
+
+    def autoencode(self, disp, pose, clo, rng=None, sample: bool = False):
+        """Full reconstruction. sample=False uses the posterior mean (the
+        deterministic eval path); sample=True draws z like training."""
+        z_mean, z_logvar, y, y2 = self.encode(disp, pose, clo)
+        if sample:
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            z = np.asarray(
+                self.model.sample_z(rng, jnp.asarray(z_mean), jnp.asarray(z_logvar))
+            )
+        else:
+            z = z_mean
+        z_total = np.concatenate([z, y, y2], axis=-1)
+        return self.decode(z_total, y, y2)

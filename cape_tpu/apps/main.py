@@ -1,0 +1,125 @@
+"""CLI entry point: train / test / demo, mirroring the reference's main.py.
+
+  python -m cape_tpu.apps.main --config configs/<preset>.yaml --mode train --name run1
+  python -m cape_tpu.apps.main --config ... --mode test  --name run1
+  python -m cape_tpu.apps.main --config ... --mode demo  --name run1
+
+Differences from the reference flow (main.py:1-109), by design:
+  * the mesh pyramid is loaded from the shipped golden matrices when the
+    config matches the canonical 8-layer plan (startup in seconds instead
+    of re-running QSlim every launch, and exact parity); other plans are
+    built with the first-party QSlim;
+  * datasets load from packed arrays (data/datasets/<name>) produced by
+    cape_tpu.data.packer — or fall back to a synthetic dataset with a
+    loud notice, so every mode is runnable without the gated CAPE data.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import numpy as np
+
+from cape_tpu.apps.demos import DemoSuite
+from cape_tpu.apps.inference import InferenceEngine
+from cape_tpu.core.config import CAPEConfig, parse_cli
+from cape_tpu.data.loader import BodyData
+from cape_tpu.data.synthetic import synthetic_bodydata
+from cape_tpu.meshops import assets
+from cape_tpu.meshops.pyramid import build_pyramid
+from cape_tpu.models.cape import CAPE
+from cape_tpu.ops.sparse import build_graph_context
+from cape_tpu.train import checkpoint as ckpt
+from cape_tpu.train.loop import Trainer
+from cape_tpu.train.optim import build_optimizer, create_train_state
+
+
+def build_context(cfg: CAPEConfig):
+    """GraphContext for the configured pyramid plan."""
+    verts, faces = assets.template_mesh()
+    canonical = cfg.ds_factors == [1, 2, 1, 2, 1, 2, 1, 1]
+    if canonical:
+        pyr = assets.load_pyramid("for_demo")
+    else:
+        print("building mesh pyramid with QSlim (non-canonical plan)...", flush=True)
+        pyr = build_pyramid(verts, faces, cfg.ds_factors)
+    pyr_d = assets.load_pyramid("ds2")
+    loss_mask = (
+        assets.loss_mask_binary() if cfg.loss_mask == "binary" else 1.0
+    )
+    return build_graph_context(
+        pyr, pyr_d, assets.smpl_edges(), verts, loss_mask=loss_mask,
+        mode="auto", dtype=np.dtype(cfg.compute_dtype),
+    )
+
+
+def load_bodydata(cfg: CAPEConfig, datadir_root: str = "data/datasets") -> BodyData:
+    data_dir = os.path.join(datadir_root, cfg.dataset)
+    if os.path.isdir(data_dir):
+        print(f"loading packed dataset from {data_dir}", flush=True)
+        return BodyData.from_packed(data_dir, pose_type=cfg.pose_type)
+    print(
+        f"WARNING: packed dataset {data_dir!r} not found — using a synthetic "
+        "stand-in dataset (pack the CAPE release with cape_tpu.data.packer "
+        "for real training)",
+        flush=True,
+    )
+    return synthetic_bodydata(n_train=512, n_test=64, num_verts=6890, seed=cfg.seed)
+
+
+def restore_params(cfg: CAPEConfig, model: CAPE, ctx, workdir: str = "results"):
+    ckpt_dir = os.path.join(workdir, cfg.name, "checkpoints")
+    latest = ckpt.latest_checkpoint(ckpt_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+    params = jax.jit(lambda r: model.init_params(r, ctx))(jax.random.PRNGKey(0))
+    tx, _, _ = build_optimizer(cfg, steps_per_epoch=1)
+    template = jax.device_get(create_train_state(params, tx))
+    state = ckpt.restore_checkpoint(latest, template)
+    print(f"restored {latest} (step {int(state.step)})", flush=True)
+    return state.params
+
+
+def run(cfg: CAPEConfig, workdir: str = "results") -> None:
+    model = CAPE(cfg)
+    ctx = build_context(cfg)
+
+    if cfg.mode == "train":
+        data = load_bodydata(cfg)
+        trainer = Trainer(cfg, model, ctx, data, workdir=workdir)
+        losses, t_step = trainer.fit()
+        print(f"training done: {t_step*1000:.1f} ms/step", flush=True)
+        params = jax.device_get(trainer.state).params
+        engine = InferenceEngine(model, ctx, params, cfg.batch_size)
+        demos = DemoSuite(
+            engine, cfg.name, cfg.dataset, cfg.gender, cfg.demo_n_sample,
+            cfg.save_obj, cfg.smpl_model_folder, workdir, cfg.seed,
+        )
+        demos.test_model(data)
+        demos.run()
+    else:
+        params = restore_params(cfg, model, ctx, workdir)
+        engine = InferenceEngine(model, ctx, params, cfg.batch_size)
+        demos = DemoSuite(
+            engine, cfg.name, cfg.dataset, cfg.gender, cfg.demo_n_sample,
+            cfg.save_obj, cfg.smpl_model_folder, workdir, cfg.seed,
+        )
+        if cfg.mode == "test":
+            data = load_bodydata(cfg)
+            demos.test_model(data)
+        else:
+            demos.run()
+
+
+def main(argv=None):
+    cfg = parse_cli(argv)
+    if not cfg.name:
+        print("error: --name is required", file=sys.stderr)
+        sys.exit(2)
+    run(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,237 @@
+"""TF-checkpoint -> cape_tpu params converter.
+
+The reference publishes pretrained TF1 checkpoints (tf.train.Saver format,
+lib/models.py:351). This tool maps every reference variable to our param
+tree so published models run pure-XLA on CPU/TPU:
+
+  reference scope/variable                      -> cape_tpu param path
+  condition_pose/fc1/dense/{kernel,bias}        -> cond_pose.fc1.{kernel,bias}
+  condition_clo_label/fc1/dense/{kernel,bias}   -> cond_clo.fc1.{kernel,bias}
+  generator/encoder/encoder_conv{i}/weights     -> generator.encoder.layer{i-1}.w
+  generator/encoder/encoder_conv{i}/bias        -> generator.encoder.layer{i-1}.b
+  generator/encoder/encoder_resblock{i}/...     -> generator.encoder.layer{i-1}.{conv1,conv2,proj}
+  generator/encoder/1x1-conv/weights            -> generator.encoder.reduce.w
+  generator/encoder/fc_mean/dense/...           -> generator.encoder.fc_mean....
+  generator/decoder/fc1/dense/...               -> generator.decoder.fc1....
+  generator/decoder/1x1-conv/weights            -> generator.decoder.expand.w
+  generator/decoder/decoder_conv{i}/...         -> generator.decoder.layer{i-1}....
+  generator/decoder/decoder_resblock_affine{i}/ -> generator.decoder.layer{i-1}.{conv,affine}
+  generator/decoder/decoder_resblock_cmr{i}/    -> generator.decoder.layer{i-1}.{gn0,lin1,...}
+  generator/decoder/outputs/{weights,bias}      -> generator.decoder.out.{w,b}
+  discriminator/shared/conv{i}/{weights,bias}   -> discriminator.layer{i-1}.{w,b}
+  discriminator/prediction_map/weights          -> discriminator.pred.w
+
+Chebyshev filterbanks are relaid out from the reference's flat
+[Fin*K, Fout] (row index fin*K + k, lib/models.py:97-101) to our
+[K, Fin, Fout]. Per-filter biases [1,1,F] squeeze to [F]; the per-vertex
+output bias [1,V,F] squeezes to [V,F].
+
+Usage:
+  python -m cape_tpu.tools.tf_ckpt_converter <ckpt_prefix_or_dir> \
+      --config configs/CAPE-affineconv_nz64_pose32_clotype32_male.yaml \
+      --out converted_params.npz
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+
+
+def read_tf_checkpoint(path: str) -> dict[str, np.ndarray]:
+    """Read all variables from a TF checkpoint prefix (or a directory
+    containing one) into {name: array}. Optimizer slot variables
+    (Momentum/Adam) are dropped."""
+    from tensorflow.python.training import py_checkpoint_reader
+
+    if os.path.isdir(path):
+        import tensorflow as tf
+
+        latest = tf.train.latest_checkpoint(path)
+        if latest is None:
+            raise FileNotFoundError(f"no checkpoint under {path}")
+        path = latest
+    reader = py_checkpoint_reader.NewCheckpointReader(path)
+    out = {}
+    for name in reader.get_variable_to_shape_map():
+        if re.search(r"/(Momentum|Adam|Adam_1)$", name):
+            continue
+        if name in ("training/global_step", "global_step"):
+            continue
+        if "ExponentialMovingAverage" in name or name.startswith("loss/"):
+            continue
+        out[name] = reader.get_tensor(name)
+    return out
+
+
+def cheb_to_ours(w_flat: np.ndarray, K: int) -> np.ndarray:
+    """[Fin*K, Fout] (row = fin*K + k) -> [K, Fin, Fout]."""
+    fin = w_flat.shape[0] // K
+    return np.ascontiguousarray(
+        w_flat.reshape(fin, K, w_flat.shape[1]).transpose(1, 0, 2)
+    )
+
+
+def _conv(tfvars, scope: str, K: int) -> dict:
+    p = {"w": cheb_to_ours(tfvars[f"{scope}/weights"], K)}
+    if f"{scope}/bias" in tfvars:
+        p["b"] = tfvars[f"{scope}/bias"].reshape(-1)
+    return p
+
+
+def _dense(tfvars, scope: str) -> dict:
+    return {
+        "kernel": tfvars[f"{scope}/dense/kernel"],
+        "bias": tfvars[f"{scope}/dense/bias"],
+    }
+
+
+def _gn(tfvars, scope: str) -> dict:
+    return {"gamma": tfvars[f"{scope}/gamma"], "beta": tfvars[f"{scope}/beta"]}
+
+
+def convert(tfvars: dict[str, np.ndarray], cfg) -> dict:
+    """Build the cape_tpu param tree from reference TF variables for the
+    architecture described by cfg (a CAPEConfig)."""
+    K, Kd, n = cfg.K, cfg.Kd, cfg.num_conv_layers
+
+    cond_pose = {
+        "fc1": _dense(tfvars, "condition_pose/fc1"),
+        "fc2": _dense(tfvars, "condition_pose/fc2"),
+    }
+    cond_clo = {"fc1": _dense(tfvars, "condition_clo_label/fc1")}
+    if "condition_clo_label/fc2/dense/kernel" in tfvars:
+        cond_clo["fc2"] = _dense(tfvars, "condition_clo_label/fc2")
+
+    encoder: dict = {}
+    for i in range(n):
+        if cfg.use_res_block:
+            scope = f"generator/encoder/encoder_resblock{i + 1}"
+            layer = {
+                "conv1": {
+                    "w": cheb_to_ours(tfvars[f"{scope}/filter_1/weights"], K),
+                    "b": tfvars[f"{scope}/bias_relu_1/bias"].reshape(-1),
+                },
+                "conv2": {
+                    "w": cheb_to_ours(tfvars[f"{scope}/filter_2/weights"], K),
+                    "b": tfvars[f"{scope}/bias_relu_2/bias"].reshape(-1),
+                },
+            }
+            if f"{scope}/1x1-conv/weights" in tfvars:
+                layer["proj"] = {"w": cheb_to_ours(tfvars[f"{scope}/1x1-conv/weights"], 1)}
+            encoder[f"layer{i}"] = layer
+        else:
+            encoder[f"layer{i}"] = _conv(tfvars, f"generator/encoder/encoder_conv{i + 1}", K)
+    if cfg.reduce_dim > 0:
+        encoder["reduce"] = {
+            "w": cheb_to_ours(tfvars["generator/encoder/1x1-conv/weights"], 1)
+        }
+    encoder["fc_mean"] = _dense(tfvars, "generator/encoder/fc_mean")
+    encoder["fc_var"] = _dense(tfvars, "generator/encoder/fc_var")
+
+    decoder: dict = {"fc1": _dense(tfvars, "generator/decoder/fc1")}
+    if cfg.reduce_dim > 0:
+        decoder["expand"] = {
+            "w": cheb_to_ours(tfvars["generator/decoder/1x1-conv/weights"], 1)
+        }
+    for i in range(n):
+        if cfg.use_res_block_dec and cfg.affine:
+            scope = f"generator/decoder/decoder_resblock_affine{i + 1}"
+            decoder[f"layer{i}"] = {
+                "conv": {"w": cheb_to_ours(tfvars[f"{scope}/graph_conv/weights"], K)},
+                "affine": {"w": cheb_to_ours(tfvars[f"{scope}/affine/weights"], 1)},
+            }
+        elif cfg.use_res_block_dec:
+            scope = f"generator/decoder/decoder_resblock_cmr{i + 1}"
+            layer = {
+                "gn0": _gn(tfvars, f"{scope}/group_norm"),
+                "lin1": {"w": cheb_to_ours(tfvars[f"{scope}/graph_linear_1/weights"], 1)},
+                "gn1": _gn(tfvars, f"{scope}/group_norm_1"),
+                "conv": {"w": cheb_to_ours(tfvars[f"{scope}/graph_conv/weights"], K)},
+                "gn2": _gn(tfvars, f"{scope}/group_norm_2"),
+                "lin2": {"w": cheb_to_ours(tfvars[f"{scope}/graph_linear_2/weights"], 1)},
+            }
+            if f"{scope}/graph_linear_input/weights" in tfvars:
+                layer["proj"] = {
+                    "w": cheb_to_ours(tfvars[f"{scope}/graph_linear_input/weights"], 1)
+                }
+            decoder[f"layer{i}"] = layer
+        else:
+            decoder[f"layer{i}"] = _conv(tfvars, f"generator/decoder/decoder_conv{i + 1}", K)
+    decoder["out"] = {
+        "w": cheb_to_ours(tfvars["generator/decoder/outputs/weights"], K),
+        "b": tfvars["generator/decoder/outputs/bias"].reshape(
+            tfvars["generator/decoder/outputs/bias"].shape[-2:]
+        ),
+    }
+
+    disc: dict = {}
+    i = 0
+    while f"discriminator/shared/conv{i + 1}/weights" in tfvars:
+        disc[f"layer{i}"] = _conv(tfvars, f"discriminator/shared/conv{i + 1}", Kd)
+        i += 1
+    disc["pred"] = {
+        "w": cheb_to_ours(tfvars["discriminator/prediction_map/weights"], K)
+    }
+
+    return {
+        "cond_pose": cond_pose,
+        "cond_clo": cond_clo,
+        "generator": {"encoder": encoder, "decoder": decoder},
+        "discriminator": disc,
+    }
+
+
+def verify_against_template(params: dict, model, ctx) -> None:
+    """Shape-check the converted tree against a freshly-initialized one."""
+    import jax
+
+    template = model.init_params(jax.random.PRNGKey(0), ctx)
+    tleaves = jax.tree_util.tree_flatten_with_path(template)[0]
+    cleaves = dict(
+        (jax.tree_util.keystr(p), l)
+        for p, l in jax.tree_util.tree_flatten_with_path(params)[0]
+    )
+    for path, leaf in tleaves:
+        key = jax.tree_util.keystr(path)
+        if key not in cleaves:
+            raise KeyError(f"converted params missing {key}")
+        if tuple(np.shape(cleaves[key])) != tuple(np.shape(leaf)):
+            raise ValueError(
+                f"shape mismatch at {key}: converted {np.shape(cleaves[key])} "
+                f"vs model {np.shape(leaf)}"
+            )
+
+
+def main(argv=None):
+    import argparse
+
+    from cape_tpu.core.config import load_config
+    from cape_tpu.train.checkpoint import flatten_tree
+
+    p = argparse.ArgumentParser(description="Convert a reference TF checkpoint")
+    p.add_argument("checkpoint", help="TF checkpoint prefix or directory")
+    p.add_argument("--config", required=True, help="matching YAML config preset")
+    p.add_argument("--out", default="converted_params.npz")
+    p.add_argument("--verify", action="store_true", help="shape-check vs a fresh init")
+    args = p.parse_args(argv)
+
+    cfg = load_config(args.config)
+    tfvars = read_tf_checkpoint(args.checkpoint)
+    params = convert(tfvars, cfg)
+
+    if args.verify:
+        from cape_tpu.apps.main import build_context
+        from cape_tpu.models.cape import CAPE
+
+        verify_against_template(params, CAPE(cfg), build_context(cfg))
+
+    np.savez(args.out, **flatten_tree(params))
+    n = sum(v.size for v in tfvars.values())
+    print(f"wrote {args.out} ({n} source values)")
+
+
+if __name__ == "__main__":
+    main()

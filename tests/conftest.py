@@ -31,37 +31,7 @@ def template():
 
 @pytest.fixture(scope="session")
 def small_mesh():
-    """A small closed mesh (icosphere-ish) for fast topology/qslim tests."""
-    # subdivided octahedron projected to the sphere
-    verts = np.array(
-        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
-        dtype=np.float64,
-    )
-    faces = np.array(
-        [[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
-         [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]],
-        dtype=np.int32,
-    )
-    for _ in range(3):  # subdivide to 258 verts
-        verts, faces = _subdivide(verts, faces)
-    return verts, faces
+    """A small closed mesh (258-vert icosphere) for fast topology/qslim tests."""
+    from cape_tpu.meshops.toy import icosphere
 
-
-def _subdivide(verts, faces):
-    verts = list(map(tuple, verts))
-    cache = {}
-
-    def midpoint(i, j):
-        key = (min(i, j), max(i, j))
-        if key not in cache:
-            v = (np.asarray(verts[i]) + np.asarray(verts[j])) / 2.0
-            v = v / np.linalg.norm(v)
-            cache[key] = len(verts)
-            verts.append(tuple(v))
-        return cache[key]
-
-    new_faces = []
-    for a, b, c in faces:
-        ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
-        new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
-    return np.asarray(verts, dtype=np.float64), np.asarray(new_faces, dtype=np.int32)
+    return icosphere(3)
