@@ -80,20 +80,40 @@ def load_pyramid(which: str = "for_demo") -> MeshPyramid:
     return pyr
 
 
+class _PickleStub:
+    """Attribute bag standing in for classes we don't need to import."""
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        else:
+            self.__dict__["_state"] = state
+
+    def __getattr__(self, name):
+        raise AttributeError(name)
+
+
+class _TolerantUnpickler(pickle.Unpickler):
+    """Load the shipped sklearn pickle without requiring the (renamed,
+    version-pinned) sklearn module layout it was written with."""
+
+    def find_class(self, module, name):
+        if module.startswith("sklearn"):
+            return _PickleStub
+        return super().find_class(module, name)
+
+
 def load_gmm():
     """The pretrained latent GMM (10 components, full covariance, 18-dim).
 
     Returns a plain dict {weights, means, covariances} decoded from the
-    sklearn pickle without requiring sklearn at runtime.
+    sklearn pickle without importing sklearn.
     """
     with open(asset_path("pretrained_gmm.pkl"), "rb") as f:
-        try:
-            gmm = pickle.load(f, encoding="latin1")
-        except Exception:
-            f.seek(0)
-            gmm = pickle.load(f)
+        gmm = _TolerantUnpickler(f, encoding="latin1").load()
+    d = gmm.__dict__
     return {
-        "weights": np.asarray(gmm.weights_),
-        "means": np.asarray(gmm.means_),
-        "covariances": np.asarray(gmm.covariances_),
+        "weights": np.asarray(d["weights_"]),
+        "means": np.asarray(d["means_"]),
+        "covariances": np.asarray(d["covariances_"]),
     }

@@ -52,8 +52,11 @@ class GMM:
         """Log density of x [N, D] under the mixture."""
         D = self.means.shape[1]
         diff = x[:, None, :] - self.means[None, :, :]          # [N, M, D]
+        chols = jnp.broadcast_to(
+            self.chols[None], (x.shape[0],) + self.chols.shape
+        )
         sol = jax.scipy.linalg.solve_triangular(
-            self.chols[None], diff[..., None], lower=True
+            chols, diff[..., None], lower=True
         )[..., 0]
         maha = jnp.sum(sol * sol, axis=-1)                     # [N, M]
         logdet = 2.0 * jnp.sum(

@@ -1,0 +1,131 @@
+"""App-layer tests: inference engine batching, demo suite, CLI config flow."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from cape_tpu.apps.demos import DemoSuite, SimpleDemo
+from cape_tpu.apps.inference import InferenceEngine
+from cape_tpu.core.config import CAPEConfig, load_config
+from cape_tpu.data.synthetic import synthetic_bodydata
+from cape_tpu.meshops import assets
+from cape_tpu.models.cape import CAPE
+from cape_tpu.ops.sparse import build_graph_context
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = CAPEConfig(
+        name="apps_test", nf=8, nz=18, nz_cond=24, nz_cond2=8,
+        use_res_block=False, use_res_block_dec=True, affine=True,
+        reduce_dim=8, batch_size=4,
+    )
+    verts, _ = assets.template_mesh()
+    ctx = build_graph_context(
+        assets.load_pyramid("for_demo"), assets.load_pyramid("ds2"),
+        assets.smpl_edges(), verts,
+    )
+    model = CAPE(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), ctx)
+    return InferenceEngine(model, ctx, params, batch_size=4)
+
+
+def test_encode_only_condition_handles_uneven_batches(engine):
+    rng = np.random.default_rng(0)
+    pose = rng.standard_normal((6, 126)).astype(np.float32)   # not divisible by 4
+    clo = np.eye(4, dtype=np.float32)[rng.integers(0, 4, 6)]
+    y, y2 = engine.encode_only_condition(pose, clo)
+    assert y.shape == (6, 24) and y2.shape == (6, 8)
+    # batching must not change values: compare vs single big batch
+    y_1, _ = engine.encode_only_condition(pose[:1], clo[:1])
+    np.testing.assert_allclose(y[:1], y_1, rtol=1e-5, atol=1e-6)
+
+
+def test_decode_broadcasts_single_condition(engine):
+    rng = np.random.default_rng(1)
+    nz = engine.model.cfg.nz
+    z = rng.standard_normal((5, nz)).astype(np.float32)
+    y = rng.standard_normal((1, 24)).astype(np.float32)
+    y2 = rng.standard_normal((1, 8)).astype(np.float32)
+    z_total = np.concatenate([z, np.repeat(y, 5, 0), np.repeat(y2, 5, 0)], axis=-1)
+    out = engine.decode(z_total, y, y2)
+    assert out.shape == (5, 6890, 3)
+    assert np.all(np.isfinite(out))
+
+
+def test_autoencode_mean_vs_sample(engine):
+    rng = np.random.default_rng(2)
+    disp = rng.standard_normal((3, 6890, 3)).astype(np.float32)
+    pose = rng.standard_normal((3, 126)).astype(np.float32)
+    clo = np.eye(4, dtype=np.float32)[[0, 1, 2]]
+    mean_out = engine.autoencode(disp, pose, clo, sample=False)
+    # mean path is deterministic
+    np.testing.assert_array_equal(mean_out, engine.autoencode(disp, pose, clo, sample=False))
+    samp = engine.autoencode(disp, pose, clo, sample=True, rng=jax.random.PRNGKey(7))
+    assert samp.shape == mean_out.shape
+
+
+@pytest.fixture(scope="module")
+def demo_suite(engine, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("results"))
+    return DemoSuite(
+        engine, name="apps_test", n_sample=2, save_objs=True,
+        smpl_model_folder="/nonexistent", results_root=root, seed=0,
+    )
+
+
+def test_demo_test_model_metric(demo_suite):
+    data = synthetic_bodydata(n_train=24, n_test=6, num_verts=6890, n_val=4, seed=0)
+    result = demo_suite.test_model(data)
+    assert set(result) >= {"euclidean_mean_m", "euclidean_std_m", "euclidean_median_m"}
+    assert np.isfinite(result["euclidean_mean_m"])
+    assert os.path.exists(
+        os.path.join(demo_suite.results_dir, "test_results_dataset_male_4clotypes.txt")
+    )
+
+
+def test_sample_vary_clotype_exports_objs(demo_suite):
+    out = demo_suite.sample_vary_clotype()
+    assert out.shape == (4, 2, 6890, 3)          # 4 clotypes x n_sample
+    obj_dir = os.path.join(demo_suite.results_dir, "sample_vary_clotype")
+    objs = [f for f in os.listdir(obj_dir) if f.endswith(".obj")]
+    assert len(objs) == 8
+
+
+def test_sample_vary_pose(demo_suite):
+    out = demo_suite.sample_vary_pose()
+    assert out.shape == (6, 2, 6890, 3)          # 6 demo poses x n_sample
+
+
+def test_sample_gmm_prior(demo_suite):
+    out = demo_suite.sample_gmm_prior(n=3)       # nz=18 matches the asset
+    assert out.shape == (3, 6890, 3)
+    assert np.all(np.isfinite(out))
+
+
+def test_config_presets_load():
+    for preset in (
+        "configs/CAPE-affineconv_nz64_pose32_clotype32_male.yaml",
+        "configs/CAPE_nz18_pose24_clotype8_female.yaml",
+        "configs/default_config.yaml",
+    ):
+        cfg = load_config(preset)
+        assert cfg.num_conv_layers == 8
+        assert len(cfg.channels) == 8
+    cfg = load_config("configs/CAPE-affineconv_nz64_pose32_clotype32_male.yaml")
+    assert cfg.nz == 64 and cfg.affine and not cfg.use_res_block
+    assert cfg.reduce_rate == 8 and cfg.z_total_dim == 128
+
+
+def test_obj_roundtrip(tmp_path):
+    from cape_tpu.meshops.obj_io import load_obj, save_obj
+    from cape_tpu.meshops.toy import icosphere
+
+    verts, faces = icosphere(1)
+    p = str(tmp_path / "m.obj")
+    save_obj(p, verts, faces)
+    v2, f2 = load_obj(p)
+    np.testing.assert_allclose(v2, verts, atol=1e-7)
+    np.testing.assert_array_equal(f2, faces)
