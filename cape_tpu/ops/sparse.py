@@ -9,8 +9,14 @@ Three operator flavors, all with the same apply contract
                Memory-bound, tiny; the default for all pyramid matrices
                (max row width 11 for Laplacians, 3 for upsamples, 1 for
                downsample selections, which reduce to a pure gather).
-  DenseOp    — materialized dense matmul on the MXU; profitable only for
-               small levels or very wide channel counts.
+  DenseOp    — materialized dense matmul on the MXU; ~25x slower than the
+               gather form for these sizes (kept for A/B benchmarking).
+
+Every EllOp carries its *transpose* in ELL form and applies through a
+custom VJP: the backward pass is then another fixed-width gather. Without
+this, XLA's autodiff transpose of gather+einsum materializes a
+[batch, rows, width, chan] temporary and a scatter-add — measured 400x
+slower at batch 64 and OOM at batch 256 on v5e (see bench history).
 
 `GraphContext` bundles the per-level operators plus the geometry constants
 (template verts, edge table, loss mask) that the model and losses need,
@@ -30,6 +36,47 @@ from flax import struct
 from cape_tpu.meshops.pyramid import MeshPyramid
 
 
+def _gather_apply(x: jnp.ndarray, idx: jnp.ndarray, val: jnp.ndarray) -> jnp.ndarray:
+    """y[..., r, c] = sum_w val[r, w] * x[..., idx[r, w], c].
+
+    Accumulated as `width` separate [.., rows, C] gathers: a single
+    [.., rows, width, C] gather+einsum tempts XLA into materializing the
+    width-times-larger temporary at batch >= 64 (measured 400x slowdown /
+    OOM on v5e); the accumulation form stays fused and flat in memory.
+    """
+    val = val.astype(x.dtype)
+    width = idx.shape[1]
+    y = val[:, 0, None] * jnp.take(x, idx[:, 0], axis=-2)
+    for w in range(1, width):
+        y = y + val[:, w, None] * jnp.take(x, idx[:, w], axis=-2)
+    return y
+
+
+def _select_apply(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(x, idx[:, 0], axis=-2)
+
+
+def _ell_primal(select, x, idx, val, t_idx, t_val):
+    return _select_apply(x, idx) if select else _gather_apply(x, idx, val)
+
+
+ell_matvec = jax.custom_vjp(_ell_primal, nondiff_argnums=(0,))
+
+
+def _ell_fwd(select, x, idx, val, t_idx, t_val):
+    return _ell_primal(select, x, idx, val, t_idx, t_val), (val, t_idx, t_val)
+
+
+def _ell_bwd(select, res, g):
+    val, t_idx, t_val = res
+    dx = _gather_apply(g, t_idx, t_val)
+    zero_val = None if val is None else jnp.zeros_like(val)
+    return (dx, None, zero_val, None, jnp.zeros_like(t_val))
+
+
+ell_matvec.defvjp(_ell_fwd, _ell_bwd)
+
+
 @struct.dataclass
 class IdentityOp:
     n_rows: int = struct.field(pytree_node=False)
@@ -44,21 +91,17 @@ class IdentityOp:
 
 @struct.dataclass
 class EllOp:
-    """Fixed-width (ELL) sparse matrix: per-row padded neighbor ids + weights."""
+    """Fixed-width (ELL) sparse matrix with its transpose, custom-VJP apply."""
 
     idx: jnp.ndarray                                  # [rows, width] int32
-    val: jnp.ndarray | None                           # [rows, width] or None for selection
+    val: jnp.ndarray | None                           # [rows, width]; None for selection
+    t_idx: jnp.ndarray                                # [cols, t_width] int32
+    t_val: jnp.ndarray                                # [cols, t_width]
     n_cols: int = struct.field(pytree_node=False)
     select: bool = struct.field(pytree_node=False, default=False)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        if self.select:
-            return jnp.take(x, self.idx[:, 0], axis=-2)
-        rows, width = self.idx.shape
-        g = jnp.take(x, self.idx.reshape(-1), axis=-2)
-        g = g.reshape(x.shape[:-2] + (rows, width) + x.shape[-1:])
-        val = self.val.astype(x.dtype)
-        return jnp.einsum("rw,...rwc->...rc", val, g)
+        return ell_matvec(self.select, x, self.idx, self.val, self.t_idx, self.t_val)
 
     @property
     def shape(self):
@@ -90,31 +133,36 @@ def _is_identity(m: sp.spmatrix) -> bool:
     return bool(np.all(coo.row == coo.col) and np.allclose(coo.data, 1.0))
 
 
-def ell_from_scipy(m: sp.spmatrix, dtype=jnp.float32, pad_width: int | None = None) -> EllOp:
-    """Pack a scipy sparse matrix into padded ELL (gather) form.
-
-    Padded slots point at row 0 with weight 0 so gathers stay in bounds.
-    Selection matrices (one unit entry per row) collapse to a pure gather.
-    """
-    csr = sp.csr_matrix(m)
-    rows, cols = csr.shape
+def _pack_ell(csr: sp.csr_matrix) -> tuple[np.ndarray, np.ndarray]:
+    """CSR -> padded (idx, val). Padded slots point at row 0 with weight 0."""
+    rows = csr.shape[0]
     row_nnz = np.diff(csr.indptr)
     width = int(max(1, row_nnz.max() if rows else 1))
-    if pad_width is not None:
-        width = max(width, pad_width)
-
-    select = bool(width == 1 and np.all(row_nnz == 1) and np.allclose(csr.data, 1.0))
     idx = np.zeros((rows, width), dtype=np.int32)
     val = np.zeros((rows, width), dtype=np.float32)
     for r in range(rows):
         lo, hi = csr.indptr[r], csr.indptr[r + 1]
-        n = hi - lo
-        idx[r, :n] = csr.indices[lo:hi]
-        val[r, :n] = csr.data[lo:hi]
-    if select:
-        return EllOp(idx=jnp.asarray(idx), val=None, n_cols=cols, select=True)
+        idx[r, : hi - lo] = csr.indices[lo:hi]
+        val[r, : hi - lo] = csr.data[lo:hi]
+    return idx, val
+
+
+def ell_from_scipy(m: sp.spmatrix, dtype=jnp.float32) -> EllOp:
+    """Pack a scipy sparse matrix (and its transpose) into gather form."""
+    csr = sp.csr_matrix(m)
+    rows, cols = csr.shape
+    idx, val = _pack_ell(csr)
+    t_idx, t_val = _pack_ell(sp.csr_matrix(m.T))
+
+    row_nnz = np.diff(csr.indptr)
+    select = bool(idx.shape[1] == 1 and np.all(row_nnz == 1) and np.allclose(csr.data, 1.0))
     return EllOp(
-        idx=jnp.asarray(idx), val=jnp.asarray(val, dtype=dtype), n_cols=cols
+        idx=jnp.asarray(idx),
+        val=None if select else jnp.asarray(val, dtype=dtype),
+        t_idx=jnp.asarray(t_idx),
+        t_val=jnp.asarray(t_val, dtype=dtype),
+        n_cols=cols,
+        select=select,
     )
 
 
@@ -126,8 +174,8 @@ def make_op(m: sp.spmatrix, mode: str = "auto", dtype=jnp.float32):
     """Pick the device representation for a host sparse matrix.
 
     mode: 'auto' | 'ell' | 'dense'. 'auto' detects identities and otherwise
-    uses ELL — on TPU the gather formulation wins for every SMPL pyramid
-    level (see bench.py history); DenseOp is kept for A/B benchmarking.
+    uses ELL — benchmarked 25x faster than dense for every SMPL pyramid
+    level on v5e.
     """
     if mode == "auto" and _is_identity(m):
         return IdentityOp(n_rows=m.shape[0])

@@ -116,3 +116,47 @@ def test_shipped_laplacian_is_negated_adjacency():
     # sparsity pattern identical to adjacency, all entries negative
     assert (abs(Lt) > 0).sum() == A.nnz
     assert Lt.data.max() < 0
+
+
+def test_ell_custom_vjp_matches_dense_grad():
+    """The transpose-ELL backward must equal the dense matmul gradient."""
+    import jax
+
+    m = _random_sparse(40, 30, 0.15, 11)
+    ell = ell_from_scipy(m)
+    dense = dense_from_scipy(m)
+    x = jnp.asarray(np.random.default_rng(12).standard_normal((2, 30, 5)), jnp.float32)
+
+    def loss_e(x):
+        return jnp.sum(jnp.sin(ell(x)))
+
+    def loss_d(x):
+        return jnp.sum(jnp.sin(dense(x)))
+
+    ge = jax.grad(loss_e)(x)
+    gd = jax.grad(loss_d)(x)
+    np.testing.assert_allclose(np.asarray(ge), np.asarray(gd), rtol=1e-4, atol=1e-5)
+
+
+def test_ell_selection_custom_vjp_grad():
+    import jax
+
+    sel = sp.csr_matrix((np.ones(3), (np.arange(3), [5, 2, 7])), shape=(3, 10))
+    ell = ell_from_scipy(sel)
+    assert ell.select
+    dense = dense_from_scipy(sel)
+    x = jnp.asarray(np.random.default_rng(13).standard_normal((1, 10, 4)), jnp.float32)
+    ge = jax.grad(lambda x: jnp.sum(ell(x) ** 2))(x)
+    gd = jax.grad(lambda x: jnp.sum(dense(x) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(ge), np.asarray(gd), rtol=1e-4, atol=1e-5)
+
+
+def test_ell_transpose_packing_symmetric_laplacian(template):
+    """Symmetric matrices pack to identical forward and transpose gathers."""
+    verts, faces = template
+    from cape_tpu.meshops.topology import vert_connectivity
+
+    Lt = scaled_adjacency(vert_connectivity(faces, len(verts)))
+    op = ell_from_scipy(Lt)
+    np.testing.assert_array_equal(np.asarray(op.idx), np.asarray(op.t_idx))
+    np.testing.assert_allclose(np.asarray(op.val), np.asarray(op.t_val), atol=1e-7)
