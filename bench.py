@@ -6,6 +6,11 @@ feed_dict sess.run calls, lib/models.py:905-906) on the flagship
 CAPE-affineconv_nz64_pose32_clotype32 config, batch 16, real SMPL pyramid,
 synthetic data with the real shapes.
 
+Measurement protocol: steps are chained in groups of QUEUE_DEPTH and every
+group ends with a host fetch of a step metric — on remote-attached
+accelerators `block_until_ready` does not reliably block, so only
+device_get round-trips give honest wall-clock numbers.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
 
@@ -24,15 +29,14 @@ import time
 import numpy as np
 
 REFERENCE_STEPS_PER_SEC = 5.0  # documented estimate; see module docstring
+QUEUE_DEPTH = 8
 
 
-def main(num_steps: int = 50, warmup: int = 5) -> dict:
+def main(num_steps: int = 64, warmup: int = 8) -> dict:
     import os
 
     import jax
 
-    # persistent compilation cache: the train-step XLA program is large and
-    # remote compiles are slow; cache hits make repeat benches instant
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -49,11 +53,8 @@ def main(num_steps: int = 50, warmup: int = 5) -> dict:
 
     t_setup = time.perf_counter()
     cfg, model, ctx = _flagship_setup()
-    # jit the init: eager per-op dispatch is pathological on remote backends
     params = jax.jit(lambda rng: model.init_params(rng, ctx))(jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
-    print(f"# init done in {time.perf_counter()-t_setup:.1f}s", flush=True)
-    tx, _, _ = build_optimizer(cfg, steps_per_epoch=1940)  # male set epochs
+    tx, _, _ = build_optimizer(cfg, steps_per_epoch=1940)  # male-set epochs
 
     dp = DataParallel()
     n_chips = dp.num_devices
@@ -64,30 +65,37 @@ def main(num_steps: int = 50, warmup: int = 5) -> dict:
     )
     sg = BatchStream(len(data.disp_train), cfg.batch_size, 0)
     sd = BatchStream(len(data.disp_train), cfg.batch_size, 1)
-    batches = [
-        dp.shard_batch(make_gan_batch(data, sg, sd)) for _ in range(8)
-    ]
+    batches = [dp.shard_batch(make_gan_batch(data, sg, sd)) for _ in range(8)]
 
     state = dp.replicate(create_train_state(params, tx))
     ctx_dev = dp.replicate(ctx)
     rng = jax.random.PRNGKey(0)
 
-    t_c = time.perf_counter()
     for i in range(warmup):
-        state, metrics = step_fn(state, ctx_dev, batches[i % len(batches)], jax.random.fold_in(rng, i))
-    jax.block_until_ready(state)
-    print(f"# compile+warmup done in {time.perf_counter()-t_c:.1f}s", flush=True)
+        state, metrics = step_fn(
+            state, ctx_dev, batches[i % len(batches)], jax.random.fold_in(rng, i)
+        )
+    jax.device_get(metrics["loss_g"])  # hard sync
+    print(f"# setup+compile+warmup {time.perf_counter()-t_setup:.0f}s", flush=True)
 
     t0 = time.perf_counter()
-    for i in range(num_steps):
-        state, metrics = step_fn(state, ctx_dev, batches[i % len(batches)], jax.random.fold_in(rng, 100 + i))
-    jax.block_until_ready(state)
+    done = 0
+    while done < num_steps:
+        for j in range(QUEUE_DEPTH):
+            state, metrics = step_fn(
+                state,
+                ctx_dev,
+                batches[(done + j) % len(batches)],
+                jax.random.fold_in(rng, 100 + done + j),
+            )
+        jax.device_get(metrics["loss_g"])  # hard sync per group
+        done += QUEUE_DEPTH
     dt = time.perf_counter() - t0
 
     m = {k: float(v) for k, v in jax.device_get(metrics).items()}
     assert all(np.isfinite(v) for v in m.values()), f"non-finite metrics: {m}"
 
-    steps_per_sec = num_steps / dt
+    steps_per_sec = done / dt
     result = {
         "metric": "flagship_train_steps_per_sec_per_chip (batch16, CAPE-affineconv_nz64)",
         "value": round(steps_per_sec / n_chips, 3),

@@ -25,11 +25,20 @@ def _pad_to(arr: np.ndarray, n: int) -> np.ndarray:
 
 
 class InferenceEngine:
+    """Public contract is in natural (template) vertex order; when the
+    context uses the banded reordered formulation, inputs are permuted and
+    outputs un-permuted at this host boundary."""
+
     def __init__(self, model: CAPE, ctx: GraphContext, params: dict, batch_size: int = 16):
         self.model = model
         self.ctx = ctx
         self.params = params
         self.batch_size = batch_size
+        self.vertex_perm = ctx.vertex_perm
+        self._inv_perm = None
+        if self.vertex_perm is not None:
+            self._inv_perm = np.empty_like(self.vertex_perm)
+            self._inv_perm[self.vertex_perm] = np.arange(len(self.vertex_perm))
 
         self._embed = jax.jit(model.embed_conditions)
         self._encode = jax.jit(
@@ -67,9 +76,19 @@ class InferenceEngine:
             lambda p, c: self._embed(self.params, p, c), len(pose), pose, clo
         )
 
+    def _to_device_order(self, disp: np.ndarray) -> np.ndarray:
+        if self.vertex_perm is None:
+            return disp
+        return np.ascontiguousarray(disp[:, self.vertex_perm])
+
+    def _to_natural_order(self, disp: np.ndarray) -> np.ndarray:
+        if self._inv_perm is None:
+            return disp
+        return np.ascontiguousarray(disp[:, self._inv_perm])
+
     def encode(self, disp: np.ndarray, pose: np.ndarray, clo: np.ndarray):
         """Returns (z_mean, z_logvar, y, y2)."""
-        disp = np.asarray(disp, np.float32)
+        disp = self._to_device_order(np.asarray(disp, np.float32))
         pose = np.asarray(pose, np.float32)
         clo = np.asarray(clo, np.float32)
 
@@ -94,7 +113,7 @@ class InferenceEngine:
         (out,) = self._batched(
             lambda z, a, b: self._decode(self.params, z, a, b), n, z_total, y, y2
         )
-        return out
+        return self._to_natural_order(out)
 
     def autoencode(self, disp, pose, clo, rng=None, sample: bool = False):
         """Full reconstruction. sample=False uses the posterior mean (the

@@ -51,7 +51,7 @@ def build_context(cfg: CAPEConfig):
     )
     return build_graph_context(
         pyr, pyr_d, assets.smpl_edges(), verts, loss_mask=loss_mask,
-        mode="auto", dtype=np.dtype(cfg.compute_dtype),
+        mode=cfg.op_mode, dtype=np.dtype(cfg.compute_dtype),
     )
 
 

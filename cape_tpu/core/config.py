@@ -75,6 +75,9 @@ class CAPEConfig:
 
     # ---- TPU-native extensions (no reference counterpart) ----
     compute_dtype: str = "float32"         # float32 | bfloat16 compute path
+    op_mode: str = "banded"                # banded | ell | dense graph ops
+    remat: bool = False                    # jax.checkpoint each block (large batches)
+    fold_conditions: bool = True           # algebraic condition folding (exact)
     data_parallel: int = 0                 # 0 = use all local devices
     log_every_steps: int = 0               # 0 = per-epoch only
     checkpoint_keep: int = 5

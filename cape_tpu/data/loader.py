@@ -95,6 +95,20 @@ class BodyData:
             n_val=n_val,
         )
 
+    def permute_vertices(self, perm: np.ndarray) -> None:
+        """Rewrite all per-vertex arrays in a new vertex order (used by the
+        banded/reordered device formulation; see meshops.ordering)."""
+        perm = np.asarray(perm)
+        if getattr(self, "_vertex_perm", None) is not None:
+            if np.array_equal(self._vertex_perm, perm):
+                return
+            raise ValueError("BodyData already permuted with a different order")
+        for name in ("disp_train", "disp_val", "disp_test"):
+            setattr(self, name, np.ascontiguousarray(getattr(self, name)[:, perm]))
+        self.mean = self.mean[perm]
+        self.std = self.std[perm]
+        self._vertex_perm = perm
+
     def denormalize(self, disp: np.ndarray) -> np.ndarray:
         return disp * self.std + self.mean
 

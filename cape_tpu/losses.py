@@ -63,9 +63,20 @@ def kl_loss(z_mean, z_logvar):
     return jnp.mean(per_sample)
 
 
-def edge_loss(pred, gt, edges):
+def edge_loss(pred, gt, edge_op):
     """Mean length of difference vectors between corresponding mesh edges of
-    pred and gt (lib/losses.py:9-25). edges: [E, 2] int32."""
+    pred and gt (lib/losses.py:9-25).
+
+    edge_op is the [E, V] edge-difference operator from the GraphContext
+    (banded/gather-free on TPU); mean over edges is order-invariant, so
+    the operator's band-sorted edge order is immaterial.
+    """
+    edge_diff = edge_op(pred - gt)
+    return jnp.mean(jnp.linalg.norm(edge_diff, axis=-1))
+
+
+def edge_loss_indexed(pred, gt, edges):
+    """Index-table variant (host/tests): edges [E, 2] int32."""
     d = pred - gt
     edge_diff = jnp.take(d, edges[:, 0], axis=-2) - jnp.take(d, edges[:, 1], axis=-2)
     return jnp.mean(jnp.linalg.norm(edge_diff, axis=-1))

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from cape_tpu.core.params import conv_bias, conv_weight, split_tree
-from cape_tpu.ops.cheb import cheb_conv
+from cape_tpu.ops.cheb import cheb_basis, cheb_conv, cheb_conv_folded
 from cape_tpu.ops.norm import group_norm
 
 
@@ -124,6 +124,49 @@ def affine_block_apply(p: dict, x_in, lap, up):
     gc = jax.nn.relu(cheb_conv(x, lap, p["conv"]["w"]))
     af = conv1x1_apply(p["affine"], x, lap)
     return gc + af
+
+
+# ---------------------------------------------------- condition-folded forms
+# Folded variants consume the conditions symbolically (ops.cheb
+# cheb_conv_folded) instead of materializing the per-vertex broadcast
+# concat; exact and parameter-compatible with the concat forms.
+
+def conv_block_folded_apply(p: dict, x, conds, lap, down, act):
+    """cnp on concat([x, conds...]) with folded condition channels."""
+    x = cheb_conv_folded(x, conds, lap, p["w"])
+    x = act(x + p["b"].astype(x.dtype))
+    return down(x)
+
+
+def deconv_block_folded_apply(p: dict, x, conds, lap, up, act):
+    """udn whose input was concat([x, conds...]) *before* the unpool; the
+    condition seed is commuted through the upsampling as u = U @ 1."""
+    xu = up(x)
+    seed = up(jnp.ones((x.shape[-2], 1), dtype=x.dtype))
+    x = cheb_conv_folded(xu, conds, lap, p["w"], cond_seed=seed)
+    return act(x + p["b"].astype(x.dtype))
+
+
+def affine_block_folded_apply(p: dict, x, conds, lap, up):
+    """affine res block with folded conditions (see deconv_block_folded)."""
+    xu = up(x)
+    seed = up(jnp.ones((x.shape[-2], 1), dtype=x.dtype))
+    gc = jax.nn.relu(cheb_conv_folded(xu, conds, lap, p["conv"]["w"], cond_seed=seed))
+    af = cheb_conv_folded(xu, conds, lap, p["affine"]["w"], cond_seed=seed)
+    return gc + af
+
+
+def res_block_folded_apply(p: dict, x_in, conds, lap, down, act):
+    """encoder res block whose input is concat([x, conds...])."""
+    x = cheb_conv_folded(x_in, conds, lap, p["conv1"]["w"])
+    x = act(x + p["conv1"]["b"].astype(x.dtype))
+    x = cheb_conv(x, lap, p["conv2"]["w"])
+    if "proj" in p:
+        skip = cheb_conv_folded(x_in, conds, lap, p["proj"]["w"])
+    else:
+        skip = concat_conditions(x_in, *conds)
+    x = act(x + skip + p["conv2"]["b"].astype(x.dtype))
+    return down(x)
 
 
 def concat_conditions(x: jnp.ndarray, *conds: jnp.ndarray) -> jnp.ndarray:

@@ -32,7 +32,7 @@ from cape_tpu.core.params import (
     leaky_relu,
 )
 from cape_tpu.models import blocks
-from cape_tpu.ops.cheb import cheb_conv
+from cape_tpu.ops.cheb import cheb_conv, cheb_conv_folded
 from cape_tpu.ops.sparse import GraphContext
 
 
@@ -50,6 +50,13 @@ class CAPE:
         self.cfg = config
         self.act = ACTIVATIONS[config.activation]
         self.dtype = jnp.dtype(config.compute_dtype)
+
+    def _block(self, fn):
+        """Optionally rematerialize a block under autodiff: with cfg.remat
+        the backward pass recomputes block activations instead of storing
+        them — at batch >= 64 the stored-activation set otherwise exceeds
+        HBM headroom and XLA falls back to slow compressed copies."""
+        return jax.checkpoint(fn) if self.cfg.remat else fn
 
     # ------------------------------------------------------------- channels
     def _encoder_channels(self) -> list[int]:
@@ -181,14 +188,40 @@ class CAPE:
         cfg = self.cfg
         enc = params["generator"]["encoder"]
         x = x.astype(self.dtype)
-        if cfg.cond_encoder:
+        fold = cfg.fold_conditions and cfg.cond_encoder
+        if cfg.cond_encoder and not fold:
             x = blocks.concat_conditions(x, y, y2)
         for i in range(cfg.num_conv_layers):
             p = enc[f"layer{i}"]
+            lap, down = ctx.lap[i], ctx.down[i]
+            if fold and i == 0:
+                # conditions enter at the input concat only; fold them into
+                # the first conv (exact, see ops.cheb.cheb_conv_folded)
+                if cfg.use_res_block:
+                    blk = self._block(
+                        lambda p, x, y, y2, lap=lap, down=down:
+                        blocks.res_block_folded_apply(p, x, [y, y2], lap, down, self.act)
+                    )
+                else:
+                    blk = self._block(
+                        lambda p, x, y, y2, lap=lap, down=down:
+                        blocks.conv_block_folded_apply(p, x, [y, y2], lap, down, self.act)
+                    )
+                x = blk(p, x, y, y2)
+                continue
             if cfg.use_res_block:
-                x = blocks.res_block_apply(p, x, ctx.lap[i], ctx.down[i], self.act)
+                blk = self._block(
+                    lambda p, x, lap=lap, down=down: blocks.res_block_apply(
+                        p, x, lap, down, self.act
+                    )
+                )
             else:
-                x = blocks.conv_block_apply(p, x, ctx.lap[i], ctx.down[i], self.act)
+                blk = self._block(
+                    lambda p, x, lap=lap, down=down: blocks.conv_block_apply(
+                        p, x, lap, down, self.act
+                    )
+                )
+            x = blk(p, x)
         if cfg.reduce_dim > 0:
             x = blocks.conv1x1_apply(enc["reduce"], x, ctx.lap[-1])
         x = x.reshape(x.shape[0], -1)
@@ -208,20 +241,52 @@ class CAPE:
         x = x.reshape(x.shape[0], p_last, -1)
         if cfg.reduce_dim > 0:
             x = blocks.conv1x1_apply(dec["expand"], x, ctx.lap[-1])
-        x = blocks.concat_conditions(x, y, y2)
+
+        # condition folding is exact for the linear block forms (udn /
+        # affine); the CMR block's group norms see the cond channels, so
+        # that path keeps the materialized concat
+        fold = cfg.fold_conditions and not (cfg.use_res_block_dec and not cfg.affine)
+
+        if not fold:
+            x = blocks.concat_conditions(x, y, y2)
         for i in range(n):
             p = dec[f"layer{i}"]
             lap = ctx.lap[-(i + 2)]
             up = ctx.up[-(i + 1)]
+            if fold:
+                if cfg.use_res_block_dec:  # affine
+                    blk = self._block(
+                        lambda p, x, y, y2, lap=lap, up=up:
+                        blocks.affine_block_folded_apply(p, x, [y, y2], lap, up)
+                    )
+                else:
+                    blk = self._block(
+                        lambda p, x, y, y2, lap=lap, up=up:
+                        blocks.deconv_block_folded_apply(p, x, [y, y2], lap, up, self.act)
+                    )
+                x = blk(p, x, y, y2)
+                continue
             if cfg.use_res_block_dec:
                 if cfg.affine:
-                    x = blocks.affine_block_apply(p, x, lap, up)
+                    blk = self._block(
+                        lambda p, x, lap=lap, up=up: blocks.affine_block_apply(p, x, lap, up)
+                    )
                 else:
-                    x = blocks.cmr_block_apply(p, x, lap, up)
+                    blk = self._block(
+                        lambda p, x, lap=lap, up=up: blocks.cmr_block_apply(p, x, lap, up)
+                    )
             else:
-                x = blocks.deconv_block_apply(p, x, lap, up, self.act)
+                blk = self._block(
+                    lambda p, x, lap=lap, up=up: blocks.deconv_block_apply(
+                        p, x, lap, up, self.act
+                    )
+                )
+            x = blk(p, x)
             x = blocks.concat_conditions(x, y, y2)
-        x = cheb_conv(x, ctx.lap[0], dec["out"]["w"])
+        if fold:
+            x = cheb_conv_folded(x, [y, y2], ctx.lap[0], dec["out"]["w"])
+        else:
+            x = cheb_conv(x, ctx.lap[0], dec["out"]["w"])
         return x + dec["out"]["b"].astype(x.dtype)
 
     # ------------------------------------------------------------- generator
@@ -252,9 +317,23 @@ class CAPE:
         [B, 431, 1] (lib/models.py:648-678)."""
         cfg = self.cfg
         disc = params["discriminator"]
-        x = blocks.concat_conditions(x.astype(self.dtype), y, y2)
+        x = x.astype(self.dtype)
+        fold = cfg.fold_conditions
+        if not fold:
+            x = blocks.concat_conditions(x, y, y2)
         for i in range(len(ctx.down_d)):
-            x = blocks.conv_block_apply(
-                disc[f"layer{i}"], x, ctx.lap_d[i], ctx.down_d[i], self.act
+            lap, down = ctx.lap_d[i], ctx.down_d[i]
+            if fold and i == 0:
+                blk = self._block(
+                    lambda p, x, y, y2, lap=lap, down=down:
+                    blocks.conv_block_folded_apply(p, x, [y, y2], lap, down, self.act)
+                )
+                x = blk(disc["layer0"], x, y, y2)
+                continue
+            blk = self._block(
+                lambda p, x, lap=lap, down=down: blocks.conv_block_apply(
+                    p, x, lap, down, self.act
+                )
             )
+            x = blk(disc[f"layer{i}"], x)
         return cheb_conv(x, ctx.lap_d[-1], disc["pred"]["w"])

@@ -46,3 +46,54 @@ def cheb_conv(x: jnp.ndarray, lap, weight: jnp.ndarray) -> jnp.ndarray:
         )
         acc = term if acc is None else acc + term
     return acc
+
+
+def cheb_conv_folded(
+    x: jnp.ndarray,
+    conds: list[jnp.ndarray],
+    lap,
+    weight: jnp.ndarray,
+    cond_seed: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Chebyshev conv over concat([x, c_1 (x) 1, c_2 (x) 1, ...]) without
+    materializing the per-vertex condition broadcast.
+
+    The reference tiles each condition vector across all vertices and
+    concatenates it onto the channel axis before every conv
+    (lib/models.py:532-536, 591-609, 663-666). Since the conv is linear and
+    the condition channels are vertex-constant,
+
+        T_k(A~)(c (x) u) @ W_c[k]  ==  (T_k(A~) u) (x) (c @ W_c[k])
+
+    — K tiny [V,1] operator applies plus rank-1 broadcasts, instead of
+    convolving (and storing) nz_cond extra channels at every vertex. Exact
+    to fp rounding, parameter layout unchanged (W rows beyond x's channels
+    are the condition rows, in concat order).
+
+    cond_seed: the per-vertex coefficient of the broadcast condition
+    ([V, 1]); `None` means ones (fresh concat). When the concat passed
+    through an upsampling first, pass u = U @ 1 to commute exactly.
+    """
+    K, fin_total, fout = weight.shape
+    fx = x.shape[-1]
+    w = weight.astype(x.dtype)
+    y = cheb_conv(x, lap, w[:, :fx, :])
+
+    V = y.shape[-2]
+    seed = (
+        jnp.ones((V, 1), dtype=x.dtype)
+        if cond_seed is None
+        else cond_seed.astype(x.dtype)
+    )
+    seed_basis = cheb_basis(seed, lap, K)        # K x [V, 1]
+    off = fx
+    for c in conds:
+        dim = c.shape[-1]
+        c = c.astype(x.dtype)
+        for k in range(K):
+            proj = c @ w[k, off : off + dim, :]                  # [B, Fout]
+            basis = seed_basis[k].reshape((1,) * (y.ndim - 2) + (V, 1))
+            y = y + basis * proj[..., None, :]
+        off += dim
+    assert off == fin_total, (off, fin_total)
+    return y

@@ -173,12 +173,18 @@ def dense_from_scipy(m: sp.spmatrix, dtype=jnp.float32) -> DenseOp:
 def make_op(m: sp.spmatrix, mode: str = "auto", dtype=jnp.float32):
     """Pick the device representation for a host sparse matrix.
 
-    mode: 'auto' | 'ell' | 'dense'. 'auto' detects identities and otherwise
-    uses ELL — benchmarked 25x faster than dense for every SMPL pyramid
-    level on v5e.
+    mode: 'auto' | 'banded' | 'ell' | 'dense'. Identities are always
+    elided. 'banded' (requires a pre-permuted banded matrix, see
+    meshops.ordering) is the production path — static-slice block matmuls,
+    no gathers; 'ell' is the gather fallback for arbitrary sparsity;
+    'dense' is ~25x slower than ELL at these sizes (kept for A/B).
     """
-    if mode == "auto" and _is_identity(m):
+    if mode in ("auto", "banded", "ell") and _is_identity(m):
         return IdentityOp(n_rows=m.shape[0])
+    if mode == "banded":
+        from cape_tpu.ops.banded import banded_from_scipy
+
+        return banded_from_scipy(m, dtype=dtype)
     if mode == "dense":
         return dense_from_scipy(m, dtype)
     return ell_from_scipy(m, dtype)
@@ -202,10 +208,33 @@ class GraphContext:
     lap_d: tuple
     down_d: tuple
     edges: jnp.ndarray
+    edge_op: Any
     template_verts: jnp.ndarray
     loss_mask: jnp.ndarray
     level_sizes: tuple = struct.field(pytree_node=False)
     level_sizes_d: tuple = struct.field(pytree_node=False)
+    # level-0 vertex permutation when the banded (reordered) formulation is
+    # active: device tensors live in permuted order, hosts permute at I/O.
+    # None => natural order. Stored as a leaf for host-side use only.
+    perm0: jnp.ndarray | None = None
+
+    @property
+    def vertex_perm(self) -> np.ndarray | None:
+        return None if self.perm0 is None else np.asarray(jax.device_get(self.perm0))
+
+
+def _edge_incidence(edges: np.ndarray, n_verts: int, sort_for_band: bool) -> sp.csr_matrix:
+    """[E, V] edge-difference operator: row e = +1 at edges[e,0], -1 at
+    edges[e,1]. Rows optionally sorted by endpoint position so the matrix
+    is banded under a bandwidth-minimizing vertex order."""
+    edges = np.asarray(edges)
+    if sort_for_band:
+        edges = edges[np.argsort(edges.min(axis=1), kind="stable")]
+    E = len(edges)
+    rows = np.repeat(np.arange(E), 2)
+    cols = edges.reshape(-1)
+    vals = np.tile([1.0, -1.0], E)
+    return sp.csr_matrix((vals, (rows, cols)), shape=(E, n_verts))
 
 
 def build_graph_context(
@@ -214,14 +243,45 @@ def build_graph_context(
     edges: np.ndarray,
     template_verts: np.ndarray,
     loss_mask: np.ndarray | float = 1.0,
-    mode: str = "auto",
+    mode: str = "banded",
     dtype: Any = jnp.float32,
 ) -> GraphContext:
+    """Device context. mode='banded' (default, production) reorders both
+    pyramids by RCM/induced orderings (meshops.ordering) so every apply is
+    gather-free; the level-0 permutation is recorded in ctx.perm0 and all
+    vertex-indexed constants here are stored permuted. Hosts must permute
+    per-vertex data in and un-permute predictions out (the loaders and the
+    inference engine do this automatically)."""
+    template_verts = np.asarray(template_verts)
+    edges = np.asarray(edges)
+    perm0 = None
+    if mode == "banded":
+        from cape_tpu.meshops.ordering import (
+            permute_edges,
+            permute_pyramid,
+            pyramid_orderings,
+        )
+
+        perms = pyramid_orderings(pyramid)
+        perms_d = pyramid_orderings(disc_pyramid, base_perm=perms[0])
+        pyramid = permute_pyramid(pyramid, perms)
+        disc_pyramid = permute_pyramid(disc_pyramid, perms_d)
+        edges = permute_edges(edges, perms[0])
+        template_verts = template_verts[perms[0]]
+        if isinstance(loss_mask, np.ndarray) and loss_mask.ndim > 0:
+            loss_mask = loss_mask[perms[0]]
+        perm0 = perms[0]
+
     laps = [make_op(L, mode, dtype) for L in pyramid.scaled_laplacians()]
     downs = [make_op(D, mode, dtype) for D in pyramid.downsamples]
     ups = [make_op(U, mode, dtype) for U in pyramid.upsamples]
     laps_d = [make_op(L, mode, dtype) for L in disc_pyramid.scaled_laplacians()]
     downs_d = [make_op(D, mode, dtype) for D in disc_pyramid.downsamples]
+    edge_op = make_op(
+        _edge_incidence(edges, len(template_verts), sort_for_band=(mode == "banded")),
+        mode,
+        dtype,
+    )
     mask = jnp.asarray(loss_mask, dtype=jnp.float32)
     return GraphContext(
         lap=tuple(laps),
@@ -230,8 +290,10 @@ def build_graph_context(
         lap_d=tuple(laps_d),
         down_d=tuple(downs_d),
         edges=jnp.asarray(edges, dtype=jnp.int32),
+        edge_op=edge_op,
         template_verts=jnp.asarray(template_verts, dtype=jnp.float32),
         loss_mask=mask,
         level_sizes=tuple(pyramid.level_sizes),
         level_sizes_d=tuple(disc_pyramid.level_sizes),
+        perm0=None if perm0 is None else jnp.asarray(perm0, jnp.int32),
     )

@@ -43,6 +43,9 @@ class Trainer:
         self.cfg = cfg
         self.model = model
         self.data = data
+        self.vertex_perm = ctx.vertex_perm
+        if self.vertex_perm is not None:
+            data.permute_vertices(self.vertex_perm)
         self.dp = dp or DataParallel(cfg.data_parallel)
         self.run_dir = os.path.join(workdir, cfg.name)
         self.ckpt_dir = os.path.join(self.run_dir, "checkpoints")

@@ -41,7 +41,7 @@ def _forward_losses(model: CAPE, cfg: CAPEConfig, params, ctx: GraphContext, bat
     mask = ctx.loss_mask if ctx.loss_mask.ndim > 0 else None
     recon = losses.reconstruction_loss(x_hat, gt, mask=mask, kind=cfg.loss)
     kl = losses.kl_loss(z_mean, z_logvar)
-    edge = losses.edge_loss(x_hat, gt, ctx.edges)
+    edge = losses.edge_loss(x_hat, gt, ctx.edge_op)
     gan_g = losses.gan_generator_loss(d_fake)
     gan_d = losses.gan_discriminator_loss(d_real, d_fake)
     reg_g = losses.regularization_scale(cfg.regularization) * losses.generator_fc_l2(params)
@@ -118,7 +118,7 @@ def build_eval_step(model: CAPE, cfg: CAPEConfig):
         metrics = {
             "recon": losses.reconstruction_loss(x_hat, gt, mask=mask, kind=cfg.loss),
             "kl": losses.kl_loss(z_mean, z_logvar),
-            "edge": losses.edge_loss(x_hat, gt, ctx.edges),
+            "edge": losses.edge_loss(x_hat, gt, ctx.edge_op),
         }
         return x_hat.astype(jnp.float32), metrics
 

@@ -106,3 +106,31 @@ def test_param_counts_scale_with_config(ctx):
     p_big = big.init_params(jax.random.PRNGKey(0), ctx)
     n = lambda p: sum(x.size for x in jax.tree_util.tree_leaves(p))
     assert n(p_big) > n(p_small)
+
+
+def test_condition_folding_is_exact(ctx):
+    """Folded condition path == materialized concat path, same params."""
+    for name, base in CONFIGS.items():
+        cfg_fold = base.replace(fold_conditions=True)
+        cfg_mat = base.replace(fold_conditions=False)
+        m_fold, m_mat = CAPE(cfg_fold), CAPE(cfg_mat)
+        params = m_mat.init_params(jax.random.PRNGKey(0), ctx)
+        x, pose, clo = _inputs(base, 2, seed=42)
+        y, y2 = m_mat.embed_conditions(params, pose, clo)
+        z = jnp.asarray(np.random.default_rng(1).standard_normal((2, base.nz)), jnp.float32)
+        zt = jnp.concatenate([z, y, y2], axis=-1)
+
+        dec_a = np.asarray(m_fold.decode(params, ctx, zt, y, y2))
+        dec_b = np.asarray(m_mat.decode(params, ctx, zt, y, y2))
+        np.testing.assert_allclose(dec_a, dec_b, rtol=2e-4, atol=2e-5, err_msg=f"decode {name}")
+
+        d_a = np.asarray(m_fold.discriminate(params, ctx, x, y, y2))
+        d_b = np.asarray(m_mat.discriminate(params, ctx, x, y, y2))
+        np.testing.assert_allclose(d_a, d_b, rtol=2e-4, atol=2e-5, err_msg=f"disc {name}")
+
+        e_a = m_fold.encode(params, ctx, x, y, y2)
+        e_b = m_mat.encode(params, ctx, x, y, y2)
+        np.testing.assert_allclose(
+            np.asarray(e_a[0]), np.asarray(e_b[0]), rtol=2e-4, atol=2e-5,
+            err_msg=f"encode {name}",
+        )
