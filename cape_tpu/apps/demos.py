@@ -131,10 +131,20 @@ class DemoSuite:
         return result
 
     # ------------------------------------------------------------------
+    def _demo_conditions(self) -> np.ndarray:
+        """Clothing-joint pose conditions for the 6 demo poses, matching the
+        model's pose_type (126-d rot matrices or 42-d axis-angle)."""
+        src = (
+            self.demo_rot
+            if self.engine.model.cfg.cond_dim % 9 == 0
+            else self.demo_pose
+        )
+        return filter_cloth_pose(src)
+
     def sample_vary_pose(self):
         """Fixed clothing type, vary pose, n_sample z draws per pose
         (reference demos.py:127-169)."""
-        rot = filter_cloth_pose(self.demo_rot)
+        rot = self._demo_conditions()
         clotype = (CLO_TYPES == "shortlong").astype(np.float32)
         clotype_rep = np.repeat(clotype[None], len(rot), axis=0)
         pose_emb, clotype_emb = self.engine.encode_only_condition(rot, clotype_rep)
@@ -161,7 +171,7 @@ class DemoSuite:
         """Fixed pose, 4 clothing types, n_sample z draws per type
         (reference demos.py:172-222)."""
         clotype = np.eye(4, dtype=np.float32)
-        rot = filter_cloth_pose(self.demo_rot)[0:1]
+        rot = self._demo_conditions()[0:1]
         rot_rep = np.repeat(rot, len(clotype), axis=0)
         pose_emb, clotype_emb = self.engine.encode_only_condition(rot_rep, clotype)
         pose_emb = pose_emb[:1]
@@ -197,7 +207,7 @@ class DemoSuite:
         n = n or self.n_sample
         z = np.asarray(gmm.sample(jax.random.PRNGKey(int(self.rng.integers(1 << 30))), n))
 
-        rot = filter_cloth_pose(self.demo_rot)[0:1]
+        rot = self._demo_conditions()[0:1]
         clotype = (CLO_TYPES == "shortlong").astype(np.float32)[None]
         pose_emb, clotype_emb = self.engine.encode_only_condition(rot, clotype)
         z_total = np.concatenate(

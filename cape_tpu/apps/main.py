@@ -83,6 +83,10 @@ def restore_params(cfg: CAPEConfig, model: CAPE, ctx, workdir: str = "results"):
 
 
 def run(cfg: CAPEConfig, workdir: str = "results") -> None:
+    if cfg.pose_type == "pose" and cfg.cond_dim == 126:
+        # 14 clothing joints x 3 axis-angle dims (the reference hardcodes
+        # 14*9 at main.py:69 even for pose_type=pose; rebuild the intent)
+        cfg = cfg.replace(cond_dim=42)
     model = CAPE(cfg)
     ctx = build_context(cfg)
 

@@ -82,6 +82,29 @@ def edge_loss_indexed(pred, gt, edges):
     return jnp.mean(jnp.linalg.norm(edge_diff, axis=-1))
 
 
+def face_normal_loss(pred, gt, faces):
+    """Cosine dissimilarity 1 - |cos| between pred and gt face normals,
+    averaged over non-degenerate gt faces (lib/losses.py:27-47)."""
+    from cape_tpu.meshops.normals import face_normals
+
+    n_pred = face_normals(pred, faces)
+    n_gt = face_normals(gt, faces)
+    cos_abs = jnp.abs(jnp.sum(n_pred * n_gt, axis=-1))
+    valid = (jnp.sum(jnp.square(n_gt), axis=-1) > 1e-14).astype(cos_abs.dtype)
+    return jnp.sum((1.0 - cos_abs) * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+def vertex_normal_loss(pred, gt, faces, ftov_op=None):
+    """Cosine dissimilarity between estimated vertex normals."""
+    from cape_tpu.meshops.normals import vertex_normals
+
+    n_pred = vertex_normals(pred, faces, ftov_op)
+    n_gt = vertex_normals(gt, faces, ftov_op)
+    cos_abs = jnp.abs(jnp.sum(n_pred * n_gt, axis=-1))
+    valid = (jnp.sum(jnp.square(n_gt), axis=-1) > 1e-14).astype(cos_abs.dtype)
+    return jnp.sum((1.0 - cos_abs) * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
 def _sigmoid_ce(logits, labels):
     # numerically stable sigmoid cross-entropy with soft labels
     return jnp.mean(

@@ -160,3 +160,51 @@ def test_ell_transpose_packing_symmetric_laplacian(template):
     op = ell_from_scipy(Lt)
     np.testing.assert_array_equal(np.asarray(op.idx), np.asarray(op.t_idx))
     np.testing.assert_allclose(np.asarray(op.val), np.asarray(op.t_val), atol=1e-7)
+
+
+def test_banded_matches_ell_on_permuted_pyramid():
+    """BandedOp == EllOp on the RCM-permuted pyramid (values and grads)."""
+    import jax
+
+    from cape_tpu.meshops.ordering import permute_pyramid, pyramid_orderings
+    from cape_tpu.ops.banded import banded_from_scipy
+
+    pyr = assets.load_pyramid("ds2")
+    perms = pyramid_orderings(pyr)
+    ppyr = permute_pyramid(pyr, perms)
+    for m in [ppyr.scaled_laplacians()[0], ppyr.downsamples[0], ppyr.upsamples[1]]:
+        m = sp.csr_matrix(m)
+        band = banded_from_scipy(m)
+        ell = ell_from_scipy(m)
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, m.shape[1], 4)), jnp.float32
+        )
+        np.testing.assert_allclose(
+            np.asarray(band(x)), np.asarray(ell(x)), rtol=1e-4, atol=1e-5
+        )
+        gb = jax.grad(lambda x: jnp.sum(jnp.sin(band(x))))(x)
+        ge = jax.grad(lambda x: jnp.sum(jnp.sin(ell(x))))(x)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(ge), rtol=1e-4, atol=1e-5)
+
+
+def test_normals_and_normal_losses(small_mesh):
+    from cape_tpu import losses as L
+    from cape_tpu.meshops.normals import face_normals, vertex_normals
+
+    verts, faces = small_mesh
+    v = jnp.asarray(verts, jnp.float32)[None]
+    fn = np.asarray(face_normals(v, jnp.asarray(faces)))[0]
+    # sphere face normals point outward: positive dot with centroid dir
+    centroids = verts[faces].mean(axis=1)
+    dots = np.einsum("fc,fc->f", fn, centroids / np.linalg.norm(centroids, axis=1, keepdims=True))
+    assert (dots > 0.5).all()
+    vn = np.asarray(vertex_normals(v, jnp.asarray(faces)))[0]
+    # vertex normals on a unit sphere approximate the vertex directions
+    cos = np.einsum("vc,vc->v", vn, verts)
+    assert cos.min() > 0.9
+    # identical meshes have zero normal loss
+    assert float(L.face_normal_loss(v, v, jnp.asarray(faces))) < 1e-6
+    assert float(L.vertex_normal_loss(v, v, jnp.asarray(faces))) < 1e-6
+    # perturbed meshes have positive loss
+    v2 = v + 0.05 * jnp.asarray(np.random.default_rng(0).standard_normal(v.shape), jnp.float32)
+    assert float(L.face_normal_loss(v2, v, jnp.asarray(faces))) > 1e-4
