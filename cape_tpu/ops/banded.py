@@ -57,6 +57,16 @@ class BandedOp:
     def shape(self):
         return (self.n_rows, self.n_cols)
 
+    @property
+    def pallas_eligible(self) -> bool:
+        """The fused Pallas cheb kernel handles square symmetric levels
+        with 128x128 blocks (all rescaled Laplacians qualify)."""
+        return (
+            self.n_rows == self.n_cols
+            and self.row_block == 128
+            and self.col_block == 128
+        )
+
 
 def banded_from_scipy(
     m: sp.spmatrix, row_block: int = 128, dtype=jnp.float32

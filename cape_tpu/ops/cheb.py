@@ -38,6 +38,18 @@ def cheb_conv(x: jnp.ndarray, lap, weight: jnp.ndarray) -> jnp.ndarray:
     ops.sparse. Returns [..., V, Fout].
     """
     K = weight.shape[0]
+    if K == 2 and x.ndim == 3:
+        from cape_tpu.ops import pallas as pallas_cfg
+        from cape_tpu.ops.banded import BandedOp
+
+        if (
+            pallas_cfg.enabled()
+            and isinstance(lap, BandedOp)
+            and lap.pallas_eligible
+        ):
+            from cape_tpu.ops.pallas.cheb_kernel import cheb2_banded_pallas
+
+            return cheb2_banded_pallas(x, lap, weight)
     acc = None
     for k, xk in enumerate(cheb_basis(x, lap, K)):
         term = jnp.einsum(

@@ -208,3 +208,41 @@ def test_normals_and_normal_losses(small_mesh):
     # perturbed meshes have positive loss
     v2 = v + 0.05 * jnp.asarray(np.random.default_rng(0).standard_normal(v.shape), jnp.float32)
     assert float(L.face_normal_loss(v2, v, jnp.asarray(faces))) > 1e-4
+
+
+def test_pallas_cheb_kernel_matches_xla(small_mesh):
+    """Fused Pallas K=2 cheb conv (interpret mode on CPU) == XLA path."""
+    import jax
+
+    from cape_tpu.meshops.laplacian import scaled_adjacency
+    from cape_tpu.meshops.ordering import pyramid_orderings
+    from cape_tpu.meshops.topology import vert_connectivity
+    from cape_tpu.ops import pallas as pcfg
+    from cape_tpu.ops.banded import banded_from_scipy
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    verts, faces = small_mesh
+    A = vert_connectivity(faces, len(verts))
+    perm = np.asarray(reverse_cuthill_mckee(sp.csr_matrix(A), symmetric_mode=True))
+    Lt = sp.csr_matrix(scaled_adjacency(A))[perm][:, perm]
+    op = banded_from_scipy(Lt)
+    assert op.pallas_eligible
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, Lt.shape[0], 6)), jnp.float32)
+    W = jnp.asarray(rng.standard_normal((2, 6, 4)).astype(np.float32) * 0.1)
+
+    def loss(x, W):
+        return jnp.sum(jnp.sin(cheb_conv(x, op, W)))
+
+    was = pcfg.enabled()
+    try:
+        pcfg.set_enabled(False)
+        ref, (gx_ref, gw_ref) = loss(x, W), jax.grad(loss, argnums=(0, 1))(x, W)
+        pcfg.set_enabled(True)
+        out, (gx, gw) = loss(x, W), jax.grad(loss, argnums=(0, 1))(x, W)
+    finally:
+        pcfg.set_enabled(was)
+    np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), rtol=1e-4, atol=1e-4)
