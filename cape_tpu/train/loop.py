@@ -88,12 +88,18 @@ class Trainer:
 
         val_losses = []
         t_start = time.time()
+        # periodic hard sync: unbounded async dispatch queues degrade
+        # badly on remote-attached backends (see docs/PERF.md); a fetch
+        # every few steps keeps the pipeline shallow at negligible cost
+        sync_every = 8
         for step in range(start_step, start_step + self.num_steps):
             batch = self.dp.shard_batch(
                 make_gan_batch(self.data, stream_g, stream_d)
             )
             step_rng = jax.random.fold_in(rng, step)
             state, metrics = self.step_jit(state, self.ctx, batch, step_rng)
+            if (step + 1) % sync_every == 0:
+                jax.device_get(metrics["loss_g"])
 
             if cfg.log_every_steps and step % cfg.log_every_steps == 0:
                 m = jax.device_get(metrics)
