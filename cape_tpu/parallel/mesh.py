@@ -74,6 +74,24 @@ class DataParallel:
             donate_argnums=(0,),
         )
 
+    def compile_resident_train_step(self, step_fn):
+        """Device-resident-dataset step: data replicated, index vectors
+        sharded on the batch axis (each device gathers its own shard of
+        the batch from its local dataset copy)."""
+        return jax.jit(
+            step_fn,
+            in_shardings=(
+                self.replicated,            # state
+                self.replicated,            # graph context
+                self.replicated,            # resident dataset
+                self.batch_sharding,        # idx_g
+                self.batch_sharding,        # idx_d
+                self.replicated,            # rng
+            ),
+            out_shardings=(self.replicated, self.replicated),
+            donate_argnums=(0,),
+        )
+
     def compile_eval_step(self, eval_fn):
         return jax.jit(
             eval_fn,

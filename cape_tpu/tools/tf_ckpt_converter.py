@@ -92,9 +92,14 @@ def _gn(tfvars, scope: str) -> dict:
     return {"gamma": tfvars[f"{scope}/gamma"], "beta": tfvars[f"{scope}/beta"]}
 
 
-def convert(tfvars: dict[str, np.ndarray], cfg) -> dict:
+def convert(tfvars: dict[str, np.ndarray], cfg, vertex_perm: np.ndarray | None = None) -> dict:
     """Build the cape_tpu param tree from reference TF variables for the
-    architecture described by cfg (a CAPEConfig)."""
+    architecture described by cfg (a CAPEConfig).
+
+    vertex_perm: level-0 vertex permutation of the target runtime (the
+    banded op mode stores the per-vertex decoder output bias in device
+    order); None for natural-order (ell/dense) runtimes.
+    """
     K, Kd, n = cfg.K, cfg.Kd, cfg.num_conv_layers
 
     cond_pose = {
@@ -160,11 +165,13 @@ def convert(tfvars: dict[str, np.ndarray], cfg) -> dict:
             decoder[f"layer{i}"] = layer
         else:
             decoder[f"layer{i}"] = _conv(tfvars, f"generator/decoder/decoder_conv{i + 1}", K)
+    out_bias = tfvars["generator/decoder/outputs/bias"]
+    out_bias = out_bias.reshape(out_bias.shape[-2:])
+    if vertex_perm is not None:
+        out_bias = out_bias[np.asarray(vertex_perm)]
     decoder["out"] = {
         "w": cheb_to_ours(tfvars["generator/decoder/outputs/weights"], K),
-        "b": tfvars["generator/decoder/outputs/bias"].reshape(
-            tfvars["generator/decoder/outputs/bias"].shape[-2:]
-        ),
+        "b": out_bias,
     }
 
     disc: dict = {}
@@ -220,7 +227,15 @@ def main(argv=None):
 
     cfg = load_config(args.config)
     tfvars = read_tf_checkpoint(args.checkpoint)
-    params = convert(tfvars, cfg)
+
+    vertex_perm = None
+    if cfg.op_mode == "banded":
+        # the banded runtime stores per-vertex params in RCM order
+        from cape_tpu.meshops import assets as _assets
+        from cape_tpu.meshops.ordering import pyramid_orderings
+
+        vertex_perm = pyramid_orderings(_assets.load_pyramid("for_demo"))[0]
+    params = convert(tfvars, cfg, vertex_perm=vertex_perm)
 
     if args.verify:
         from cape_tpu.apps.main import build_context

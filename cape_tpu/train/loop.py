@@ -25,7 +25,7 @@ from cape_tpu.parallel.mesh import DataParallel
 from cape_tpu.train import checkpoint as ckpt
 from cape_tpu.train.metrics import MetricsLogger
 from cape_tpu.train.optim import build_optimizer, create_train_state
-from cape_tpu.train.step import build_eval_step, build_train_step
+from cape_tpu.train.step import build_eval_step, build_resident_train_step
 
 
 class Trainer:
@@ -55,9 +55,20 @@ class Trainer:
         self.num_steps = cfg.num_epochs * self.steps_per_epoch
 
         self.tx, self.sched_g, self.sched_d = build_optimizer(cfg, self.steps_per_epoch)
-        self.step_jit = self.dp.compile_train_step(build_train_step(model, cfg, self.tx))
+        self.step_jit = self.dp.compile_resident_train_step(
+            build_resident_train_step(model, cfg, self.tx)
+        )
         self.eval_jit = self.dp.compile_eval_step(build_eval_step(model, cfg))
         self.ctx = self.dp.replicate(ctx)
+        # the packed train arrays live in HBM for the whole run; per-step
+        # host traffic is just two [batch] int32 index vectors
+        self.train_data_dev = self.dp.replicate(
+            {
+                "disp": data.disp_train,
+                "pose": data.pose_train,
+                "clo": data.clo_train,
+            }
+        )
 
     # ------------------------------------------------------------------
     def init_or_restore(self, rng: jax.Array):
@@ -88,18 +99,24 @@ class Trainer:
 
         val_losses = []
         t_start = time.time()
+        t_in_steps = 0.0
+        steps_done = 0
         # periodic hard sync: unbounded async dispatch queues degrade
         # badly on remote-attached backends (see docs/PERF.md); a fetch
         # every few steps keeps the pipeline shallow at negligible cost
         sync_every = 8
         for step in range(start_step, start_step + self.num_steps):
-            batch = self.dp.shard_batch(
-                make_gan_batch(self.data, stream_g, stream_d)
-            )
+            t0 = time.perf_counter()
+            idx_g = self.dp.shard_batch(stream_g.next_indices().astype(np.int32))
+            idx_d = self.dp.shard_batch(stream_d.next_indices().astype(np.int32))
             step_rng = jax.random.fold_in(rng, step)
-            state, metrics = self.step_jit(state, self.ctx, batch, step_rng)
+            state, metrics = self.step_jit(
+                state, self.ctx, self.train_data_dev, idx_g, idx_d, step_rng
+            )
             if (step + 1) % sync_every == 0:
                 jax.device_get(metrics["loss_g"])
+            t_in_steps += time.perf_counter() - t0
+            steps_done += 1
 
             if cfg.log_every_steps and step % cfg.log_every_steps == 0:
                 m = jax.device_get(metrics)
@@ -119,6 +136,9 @@ class Trainer:
                 m["epoch"] = epoch
                 m["lr_g"] = float(self.sched_g(step))
                 m["sec_per_step"] = (time.time() - t_start) / max(step + 1 - start_step, 1)
+                # pure train-step time, excluding compile/eval/checkpointing
+                m["step_ms"] = 1000.0 * t_in_steps / max(steps_done, 1)
+                t_in_steps, steps_done = 0.0, 0
                 logger.log(step, m, echo=True)
                 ckpt.save_checkpoint(
                     self.ckpt_dir, jax.device_get(state), step + 1, keep=cfg.checkpoint_keep

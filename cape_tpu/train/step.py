@@ -101,6 +101,35 @@ def build_train_step(model: CAPE, cfg: CAPEConfig, tx):
     return step_fn
 
 
+def build_resident_train_step(model: CAPE, cfg: CAPEConfig, tx):
+    """Train step over a device-resident dataset.
+
+    The reference feeds every minibatch through feed_dict (host->device
+    per step, lib/models.py:892-906); over a remote-attached link that
+    upload dominates the step. Here the packed train arrays live in HBM
+    (a few GB at most — the male set is 2.5 GB) and the per-step host
+    traffic is two [batch] int32 index vectors; the batch gather happens
+    on device inside the jitted step.
+
+    Returns step_fn(state, ctx, data, idx_g, idx_d, rng) where data is
+    {'disp','pose','clo'} full train arrays.
+    """
+    base_step = build_train_step(model, cfg, tx)
+
+    def step_fn(state, ctx, data, idx_g, idx_d, rng):
+        batch = {
+            "disp_g": jnp.take(data["disp"], idx_g, axis=0),
+            "pose_g": jnp.take(data["pose"], idx_g, axis=0),
+            "clo_g": jnp.take(data["clo"], idx_g, axis=0),
+            "disp_d": jnp.take(data["disp"], idx_d, axis=0),
+            "pose_d": jnp.take(data["pose"], idx_d, axis=0),
+            "clo_d": jnp.take(data["clo"], idx_d, axis=0),
+        }
+        return base_step(state, ctx, batch, rng)
+
+    return step_fn
+
+
 def build_eval_step(model: CAPE, cfg: CAPEConfig):
     """Returns eval_fn(params, ctx, batch, rng) -> (pred, metrics).
 

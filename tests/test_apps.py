@@ -129,3 +129,45 @@ def test_obj_roundtrip(tmp_path):
     v2, f2 = load_obj(p)
     np.testing.assert_allclose(v2, verts, atol=1e-7)
     np.testing.assert_array_equal(f2, faces)
+
+
+def test_banded_and_ell_modes_agree():
+    """The permuted banded formulation and the natural-order ELL
+    formulation produce identical results through the full inference
+    engine (validates the whole reorder-at-IO-boundary machinery)."""
+    cfg = CAPEConfig(
+        name="mode_parity", nf=4, nz=8, nz_cond=8, nz_cond2=4,
+        use_res_block=False, use_res_block_dec=True, affine=True,
+        reduce_dim=4, batch_size=2,
+    )
+    verts, _ = assets.template_mesh()
+    pyr, pyr_d = assets.load_pyramid("for_demo"), assets.load_pyramid("ds2")
+    edges = assets.smpl_edges()
+
+    ctx_band = build_graph_context(pyr, pyr_d, edges, verts, mode="banded")
+    ctx_ell = build_graph_context(pyr, pyr_d, edges, verts, mode="ell")
+    assert ctx_band.vertex_perm is not None and ctx_ell.vertex_perm is None
+
+    model = CAPE(cfg)
+    # same params work in both modes except the per-vertex output bias,
+    # which lives in vertex order: permute it for the banded context
+    params_ell = jax.device_get(model.init_params(jax.random.PRNGKey(0), ctx_ell))
+    import copy
+
+    params_band = copy.deepcopy(params_ell)
+    perm = ctx_band.vertex_perm
+    params_band["generator"]["decoder"]["out"]["b"] = params_ell["generator"][
+        "decoder"
+    ]["out"]["b"][perm]
+
+    rng = np.random.default_rng(7)
+    disp = rng.standard_normal((3, 6890, 3)).astype(np.float32)
+    pose = rng.standard_normal((3, 126)).astype(np.float32)
+    clo = np.eye(4, dtype=np.float32)[[0, 1, 2]]
+
+    eng_band = InferenceEngine(model, ctx_band, params_band, batch_size=2)
+    eng_ell = InferenceEngine(model, ctx_ell, params_ell, batch_size=2)
+
+    out_band = eng_band.autoencode(disp, pose, clo, sample=False)
+    out_ell = eng_ell.autoencode(disp, pose, clo, sample=False)
+    np.testing.assert_allclose(out_band, out_ell, rtol=2e-3, atol=2e-4)
