@@ -72,7 +72,10 @@ def edge_loss(pred, gt, edge_op):
     the operator's band-sorted edge order is immaterial.
     """
     edge_diff = edge_op(pred - gt)
-    return jnp.mean(jnp.linalg.norm(edge_diff, axis=-1))
+    # eps inside the sqrt: the norm's gradient at exactly-zero difference
+    # is NaN and would poison training (value shift is ~1e-6, negligible
+    # against typical normalized edge diffs ~ O(1))
+    return jnp.mean(jnp.sqrt(jnp.sum(jnp.square(edge_diff), axis=-1) + 1e-12))
 
 
 def edge_loss_indexed(pred, gt, edges):

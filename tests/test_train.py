@@ -181,3 +181,16 @@ def test_schedule_staircase_and_warmup():
     assert float(w(400)) == pytest.approx(0.004)
     assert float(w(800)) == pytest.approx(0.008)
     assert float(w(900)) == pytest.approx(0.008 * 0.99)
+
+
+def test_edge_loss_gradient_finite_at_zero_difference(tiny):
+    """Regression: norm-at-zero has a NaN gradient; with identical pred/gt
+    (exactly-zero edge diffs) the loss gradient must stay finite — this
+    NaN poisoned whole training runs before the eps fix."""
+    from cape_tpu import losses
+
+    _, ctx, data = tiny
+    x = jnp.asarray(data.disp_train[:2])
+
+    g = jax.grad(lambda p: losses.edge_loss(p, x, ctx.edge_op))(x)
+    assert np.all(np.isfinite(np.asarray(g)))
