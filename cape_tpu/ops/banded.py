@@ -7,21 +7,65 @@ column window around t * col_stride. The apply is then
     y_tiles = sum_k  blocks[k] @ shifted_view_k(x_padded)
 
 where each shifted view is a *static* slice + reshape and each term is a
-batched [128, cb] x [cb, C] MXU matmul — no gathers, no scatters, in the
-backward pass either (pads/slices/batched matmuls are all natively
-transposable). This is the production path for the Chebyshev Laplacians,
-pool/unpool transforms and the edge-difference operator.
+batched [128, cb] x [cb, C] MXU matmul — no gathers, no scatters. The
+apply goes through a custom VJP with the *transpose packed in the same
+banded form*: XLA's autodiff transpose of the shifted einsum otherwise
+materializes [B, T, cb, C] layout-transposed copies (432 MB each at
+batch 256 — the main OOM driver before this).
 
-Storage is S (number of shifts) dense block-diagonals; for the SMPL
-pyramid S is 3-6 and the total block storage is ~tens of MB.
+Storage is S (number of shifts) dense block-diagonals for the matrix and
+its transpose; for the SMPL pyramid S is 3-12 and the total block storage
+is ~tens of MB.
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
 from flax import struct
+
+
+def _apply_blocks(x, blocks, pad_left, pad_right, n_rows):
+    """y = M x for banded M packed as shifted blocks."""
+    S, T, rb, cb = blocks.shape
+    pad = [(0, 0)] * (x.ndim - 2) + [(pad_left, pad_right), (0, 0)]
+    xp = jnp.pad(x, pad)
+    blocks = blocks.astype(x.dtype)
+    y = None
+    for k in range(S):
+        view = xp[..., k * cb : k * cb + T * cb, :]
+        view = view.reshape(x.shape[:-2] + (T, cb) + x.shape[-1:])
+        term = jnp.einsum(
+            "tij,...tjc->...tic", blocks[k], view,
+            preferred_element_type=x.dtype,
+        )
+        y = term if y is None else y + term
+    y = y.reshape(x.shape[:-2] + (T * rb,) + x.shape[-1:])
+    return y[..., :n_rows, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def banded_matvec(meta, x, blocks, t_blocks):
+    pad_left, pad_right, n_rows, _, _, _ = meta
+    return _apply_blocks(x, blocks, pad_left, pad_right, n_rows)
+
+
+def _banded_fwd(meta, x, blocks, t_blocks):
+    return banded_matvec(meta, x, blocks, t_blocks), (blocks, t_blocks)
+
+
+def _banded_bwd(meta, res, g):
+    _, _, _, t_pad_left, t_pad_right, n_cols = meta
+    blocks, t_blocks = res
+    dx = _apply_blocks(g, t_blocks, t_pad_left, t_pad_right, n_cols)
+    return dx, jnp.zeros_like(blocks), jnp.zeros_like(t_blocks)
+
+
+banded_matvec.defvjp(_banded_fwd, _banded_bwd)
 
 
 @struct.dataclass
@@ -29,29 +73,22 @@ class BandedOp:
     """y[..., i, c] = sum_j M[i, j] x[..., j, c] for banded M."""
 
     blocks: jnp.ndarray                                # [S, T, rb, cb]
+    t_blocks: jnp.ndarray                              # transpose packing
     n_rows: int = struct.field(pytree_node=False)
     n_cols: int = struct.field(pytree_node=False)
     row_block: int = struct.field(pytree_node=False)
     col_block: int = struct.field(pytree_node=False)   # == col stride per row tile
     pad_left: int = struct.field(pytree_node=False)
     pad_right: int = struct.field(pytree_node=False)
+    t_pad_left: int = struct.field(pytree_node=False)
+    t_pad_right: int = struct.field(pytree_node=False)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        S, T, rb, cb = self.blocks.shape
-        pad = [(0, 0)] * (x.ndim - 2) + [(self.pad_left, self.pad_right), (0, 0)]
-        xp = jnp.pad(x, pad)
-        blocks = self.blocks.astype(x.dtype)
-        y = None
-        for k in range(S):
-            view = xp[..., k * cb : k * cb + T * cb, :]
-            view = view.reshape(x.shape[:-2] + (T, cb) + x.shape[-1:])
-            term = jnp.einsum(
-                "tij,...tjc->...tic", blocks[k], view,
-                preferred_element_type=x.dtype,
-            )
-            y = term if y is None else y + term
-        y = y.reshape(x.shape[:-2] + (T * rb,) + x.shape[-1:])
-        return y[..., : self.n_rows, :]
+        meta = (
+            self.pad_left, self.pad_right, self.n_rows,
+            self.t_pad_left, self.t_pad_right, self.n_cols,
+        )
+        return banded_matvec(meta, x, self.blocks, self.t_blocks)
 
     @property
     def shape(self):
@@ -68,23 +105,13 @@ class BandedOp:
         )
 
 
-def banded_from_scipy(
-    m: sp.spmatrix, row_block: int = 128, dtype=jnp.float32
-) -> BandedOp:
-    """Pack a (pre-permuted) banded sparse matrix into shifted block form.
-
-    Requires n_cols * row_block to be divisible by n_rows' tiling ratio so
-    the column stride per row tile is integral (true for the pyramid's
-    1:1, 2:1 and 1:2 level-size ratios).
-    """
-    csr = sp.csr_matrix(m)
+def _pack_blocks(csr: sp.csr_matrix, row_block: int):
+    """Pack a banded CSR into (blocks, col_block, pad_left, pad_right)."""
     R, C = csr.shape
     rb = row_block
     T = -(-R // rb)
-    # column stride per row tile, from the size ratio
     cs_num = C * rb
     if cs_num % R != 0:
-        # fall back to a ratio rounded to a divisor-friendly stride
         cs = max(1, int(round(C * rb / R)))
     else:
         cs = cs_num // R
@@ -98,9 +125,7 @@ def banded_from_scipy(
     pad_left = ((max(0, -lo) + cb - 1) // cb) * cb
     S = (pad_left + hi) // cb + 1
     window = S * cb
-    # padded length must cover the last tile's window
-    pad_right = (T - 1) * cs + window - pad_left - C
-    pad_right = max(pad_right, 0)
+    pad_right = max((T - 1) * cs + window - pad_left - C, 0)
 
     blocks = np.zeros((S, T, rb, cb), dtype=np.float32)
     r_in = coo.row - t * rb
@@ -108,14 +133,31 @@ def banded_from_scipy(
     k = shifted // cb
     c_in = shifted - k * cb
     np.add.at(blocks, (k, t, r_in, c_in), coo.data)
+    return blocks, cb, int(pad_left), int(pad_right)
+
+
+def banded_from_scipy(
+    m: sp.spmatrix, row_block: int = 128, dtype=jnp.float32
+) -> BandedOp:
+    """Pack a (pre-permuted) banded sparse matrix and its transpose into
+    shifted block form."""
+    csr = sp.csr_matrix(m)
+    R, C = csr.shape
+    blocks, cb, pad_left, pad_right = _pack_blocks(csr, row_block)
+    t_blocks, _, t_pad_left, t_pad_right = _pack_blocks(
+        sp.csr_matrix(m.T), row_block
+    )
     return BandedOp(
         blocks=jnp.asarray(blocks, dtype=dtype),
+        t_blocks=jnp.asarray(t_blocks, dtype=dtype),
         n_rows=R,
         n_cols=C,
-        row_block=rb,
+        row_block=row_block,
         col_block=cb,
-        pad_left=int(pad_left),
-        pad_right=int(pad_right),
+        pad_left=pad_left,
+        pad_right=pad_right,
+        t_pad_left=t_pad_left,
+        t_pad_right=t_pad_right,
     )
 
 
