@@ -70,6 +70,17 @@ ACTIVATIONS = {
 }
 
 
+def vertex_bias(num_verts: int, fout: int):
+    """Per-vertex-per-filter bias, const 0.1 — the reference's b2relu bias
+    variant (lib/models.py:123-127; used by the decoder output layer)."""
+    return jnp.full((num_verts, fout), 0.1, dtype=jnp.float32)
+
+
+def b2relu(x: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+    """Bias (per vertex per filter) + ReLU (lib/models.py:123-127)."""
+    return jax.nn.relu(x + bias.astype(x.dtype))
+
+
 def split_tree(key, template: dict) -> dict:
     """Split one PRNG key into a matching pytree of keys."""
     leaves, treedef = jax.tree_util.tree_flatten(template)

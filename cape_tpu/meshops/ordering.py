@@ -57,11 +57,6 @@ def pyramid_orderings(
 
 def permute_pyramid(pyramid: MeshPyramid, perms: list[np.ndarray]) -> MeshPyramid:
     """The pyramid with every matrix rewritten in the permuted orderings."""
-    def P(perm, n):
-        return sp.csr_matrix(
-            (np.ones(n), (np.arange(n), perm)), shape=(n, n)
-        )
-
     A = [
         sp.csr_matrix(a)[perm][:, perm]
         for a, perm in zip(pyramid.adjacencies, perms)

@@ -17,8 +17,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from cape_tpu.core.params import conv_bias, conv_weight, split_tree
-from cape_tpu.ops.cheb import cheb_basis, cheb_conv, cheb_conv_folded
+from cape_tpu.core.params import conv_bias, conv_weight
+from cape_tpu.ops.cheb import cheb_conv, cheb_conv_folded
 from cape_tpu.ops.norm import group_norm
 
 

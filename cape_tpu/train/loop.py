@@ -18,7 +18,7 @@ import jax
 import numpy as np
 
 from cape_tpu.core.config import CAPEConfig
-from cape_tpu.data.loader import BatchStream, BodyData, make_gan_batch
+from cape_tpu.data.loader import BatchStream, BodyData
 from cape_tpu.models.cape import CAPE
 from cape_tpu.ops.sparse import GraphContext
 from cape_tpu.parallel.mesh import DataParallel

@@ -2,6 +2,7 @@
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 import scipy.sparse as sp
 
@@ -246,3 +247,32 @@ def test_pallas_cheb_kernel_matches_xla(small_mesh):
     np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_batch_norm_and_dispatcher():
+    from cape_tpu.ops.norm import batch_norm, normalize
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((4, 10, 6)) * 3 + 1, jnp.float32)
+    gamma = jnp.ones(6)
+    beta = jnp.zeros(6)
+    out = np.asarray(batch_norm(x, gamma, beta))
+    np.testing.assert_allclose(out.mean(axis=(0, 1)), 0.0, atol=1e-5)
+    np.testing.assert_allclose(out.std(axis=(0, 1)), 1.0, atol=1e-3)
+    np.testing.assert_array_equal(
+        np.asarray(normalize(x, gamma, beta, kind="none")), np.asarray(x)
+    )
+    np.testing.assert_allclose(
+        np.asarray(normalize(x, gamma, beta, kind="batch")), out, atol=1e-6
+    )
+
+
+def test_b2relu_vertex_bias():
+    from cape_tpu.core.params import b2relu, vertex_bias
+
+    b = vertex_bias(5, 3)
+    assert b.shape == (5, 3) and float(b[0, 0]) == pytest.approx(0.1)
+    x = jnp.asarray(np.full((2, 5, 3), -0.05), jnp.float32)
+    out = np.asarray(b2relu(x, b))
+    np.testing.assert_allclose(out, 0.05, atol=1e-7)
+
