@@ -134,3 +134,45 @@ def test_condition_folding_is_exact(ctx):
             np.asarray(e_a[0]), np.asarray(e_b[0]), rtol=2e-4, atol=2e-5,
             err_msg=f"encode {name}",
         )
+
+
+def test_flagship_architecture_facts(ctx):
+    """Lock the documented architecture facts (SURVEY §2a) against
+    refactors: channel plan, pyramid sizes, fc dims, param shapes."""
+    cfg = CONFIGS["flagship_affine"]
+    assert cfg.channels == [64, 64, 128, 128, 256, 256, 512, 512]
+    assert cfg.ds_factors == [1, 2, 1, 2, 1, 2, 1, 1]
+    assert cfg.reduce_rate == 8 and cfg.z_total_dim == 128
+    assert ctx.level_sizes == (6890, 6890, 3445, 3445, 1723, 1723, 862, 862, 862)
+    assert ctx.level_sizes_d == (6890, 3445, 1723, 862, 431)
+
+    model = CAPE(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), ctx)
+    enc = params["generator"]["encoder"]
+    dec = params["generator"]["decoder"]
+    disc = params["discriminator"]
+
+    # encoder: conv0 has Fin=3 (cond_encoder off), K=2; reduce to 64 ch
+    assert enc["layer0"]["w"].shape == (2, 3, 64)
+    assert enc["layer7"]["w"].shape == (2, 512, 512)
+    assert enc["reduce"]["w"].shape == (1, 512, 64)
+    assert enc["fc_mean"]["kernel"].shape == (862 * 64, 64)
+
+    # decoder: fc1 maps [z|y|y2] (128) to 862*64; expand back to 512
+    assert dec["fc1"]["kernel"].shape == (128, 862 * 64)
+    assert dec["expand"]["w"].shape == (1, 64, 512)
+    # affine block 0: input 512 + 64 cond channels -> 256 (half of 512)
+    assert dec["layer0"]["conv"]["w"].shape == (2, 576, 256)
+    assert dec["layer0"]["affine"]["w"].shape == (1, 576, 256)
+    # final conv: last block out (32) + 64 cond -> 3; per-vertex bias
+    assert dec["out"]["w"].shape == (2, 96, 3)
+    assert dec["out"]["b"].shape == (6890, 3)
+
+    # discriminator: 4 Kd=3 blocks over ds2, input 3+64 cond channels;
+    # final pred conv uses the VAE order K=2 (reference quirk kept)
+    assert disc["layer0"]["w"].shape == (3, 67, 64)
+    assert disc["layer3"]["w"].shape == (3, 128, 128)
+    assert disc["pred"]["w"].shape == (2, 128, 1)
+
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    assert 15_000_000 < n_params < 20_000_000, n_params
