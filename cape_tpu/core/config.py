@@ -80,6 +80,7 @@ class CAPEConfig:
     fold_conditions: bool = True           # algebraic condition folding (exact)
     data_parallel: int = 0                 # 0 = use all local devices
     log_every_steps: int = 0               # 0 = per-epoch only
+    profile_steps: int = 0                 # capture a jax.profiler trace of N steps
     checkpoint_keep: int = 5
     use_pallas: bool = True                # fused Pallas kernels where profitable
 

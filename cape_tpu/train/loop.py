@@ -105,7 +105,20 @@ class Trainer:
         # badly on remote-attached backends (see docs/PERF.md); a fetch
         # every few steps keeps the pipeline shallow at negligible cost
         sync_every = 8
+        profiling = False
         for step in range(start_step, start_step + self.num_steps):
+            # optional trace capture of a step window (SURVEY §5: the
+            # profiling story replacing the reference's TensorBoard-only
+            # observability); viewable with tensorboard/xprof
+            if cfg.profile_steps and step - start_step == 2:
+                try:
+                    jax.profiler.start_trace(os.path.join(self.run_dir, "profile"))
+                    profiling = True
+                except Exception as e:  # backend may not support tracing
+                    print(f"profiler unavailable: {e}", flush=True)
+            if profiling and step - start_step == 2 + cfg.profile_steps:
+                jax.profiler.stop_trace()
+                profiling = False
             t0 = time.perf_counter()
             idx_g = self.dp.shard_batch(stream_g.next_indices().astype(np.int32))
             idx_d = self.dp.shard_batch(stream_d.next_indices().astype(np.int32))
@@ -144,6 +157,8 @@ class Trainer:
                     self.ckpt_dir, jax.device_get(state), step + 1, keep=cfg.checkpoint_keep
                 )
 
+        if profiling:
+            jax.profiler.stop_trace()
         logger.close()
         t_step = (time.time() - t_start) / max(self.num_steps, 1)
         self.state = state
