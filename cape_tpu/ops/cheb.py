@@ -47,9 +47,9 @@ def cheb_conv(x: jnp.ndarray, lap, weight: jnp.ndarray) -> jnp.ndarray:
             and isinstance(lap, BandedOp)
             and lap.pallas_eligible
         ):
-            from cape_tpu.ops.pallas.cheb_kernel import cheb2_banded_pallas
+            from cape_tpu.ops.pallas.cheb_kernel import cheb2_banded_pallas_v2
 
-            return cheb2_banded_pallas(x, lap, weight)
+            return cheb2_banded_pallas_v2(x, lap, weight)
     acc = None
     for k, xk in enumerate(cheb_basis(x, lap, K)):
         term = jnp.einsum(

@@ -125,6 +125,81 @@ def _bwd(meta, res, g):
 _pallas_cheb2.defvjp(_fwd, _bwd)
 
 
+# ---------------------------------------------------------------- kernel v2
+# Vertex-major variant: activations enter as [Vp, B*C] so each grid step
+# is a [128,128] @ [128, B*C] matmul with full lane utilization (v1 ran
+# one sample per grid step and measured slower than the XLA path). The
+# batch-major <-> vertex-major transposes around the kernel are cheap
+# (measured ~free at these shapes).
+
+
+def _kernel_v2(xw_ref, blk_ref, out_ref, lx_ref):
+    k = pl.program_id(1)
+    S = pl.num_programs(1)
+    contrib = jnp.dot(
+        blk_ref[0, 0], xw_ref[...], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == 0)
+    def _():
+        lx_ref[...] = contrib
+
+    @pl.when(k > 0)
+    def _():
+        lx_ref[...] = lx_ref[...] + contrib
+
+    @pl.when(k == S - 1)
+    def _():
+        out_ref[...] = lx_ref[...].astype(out_ref.dtype)
+
+
+def _pallas_band_apply_v2(x_padded_vm, blocks):
+    """Banded apply in vertex-major form: x_padded_vm [Vp, M] -> [T*rb, M]."""
+    S, T, rb, cb = blocks.shape
+    M = x_padded_vm.shape[-1]
+    return pl.pallas_call(
+        _kernel_v2,
+        grid=(T, S),
+        in_specs=[
+            pl.BlockSpec((cb, M), lambda t, k: (t + k, 0)),
+            pl.BlockSpec((1, 1, rb, cb), lambda t, k: (k, t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((rb, M), lambda t, k: (t, 0)),
+        out_shape=jax.ShapeDtypeStruct((T * rb, M), x_padded_vm.dtype),
+        scratch_shapes=[pltpu.VMEM((rb, M), jnp.float32)],
+        interpret=jax.default_backend() != "tpu",
+    )(x_padded_vm, blocks)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pallas_cheb2_v2(meta, x, blocks, w0, w1):
+    pad_left, pad_right, n_rows = meta
+    B, V, C = x.shape
+    xv = x.transpose(1, 0, 2).reshape(V, B * C)
+    xp = jnp.pad(xv, ((pad_left, pad_right), (0, 0)))
+    lx = _pallas_band_apply_v2(xp, blocks)[:n_rows]
+    lx = lx.reshape(V, B, C).transpose(1, 0, 2)
+    return (
+        jnp.einsum("bvc,cf->bvf", x, w0, preferred_element_type=x.dtype)
+        + jnp.einsum("bvc,cf->bvf", lx, w1, preferred_element_type=x.dtype)
+    )
+
+
+def _fwd_v2(meta, x, blocks, w0, w1):
+    return _pallas_cheb2_v2(meta, x, blocks, w0, w1), (x, blocks, w0, w1)
+
+
+_pallas_cheb2_v2.defvjp(_fwd_v2, _bwd)
+
+
+def cheb2_banded_pallas_v2(x, band_op, weight):
+    """v2 entry: vertex-major banded apply with merged batch*channel
+    columns; W projections in XLA."""
+    meta = (band_op.pad_left, band_op.pad_right, band_op.n_rows)
+    w = weight.astype(x.dtype)
+    return _pallas_cheb2_v2(meta, x, band_op.blocks.astype(x.dtype), w[0], w[1])
+
+
 def cheb2_banded_pallas(x, band_op, weight):
     """Fused K=2 Chebyshev conv on a square BandedOp with 128x128 blocks.
 
