@@ -43,9 +43,9 @@ class Trainer:
         self.cfg = cfg
         self.model = model
         self.data = data
+        # BodyData stays in natural vertex order (demos/engines consume it
+        # directly); permutation happens only where arrays go to device
         self.vertex_perm = ctx.vertex_perm
-        if self.vertex_perm is not None:
-            data.permute_vertices(self.vertex_perm)
         self.dp = dp or DataParallel(cfg.data_parallel)
         self.run_dir = os.path.join(workdir, cfg.name)
         self.ckpt_dir = os.path.join(self.run_dir, "checkpoints")
@@ -64,11 +64,16 @@ class Trainer:
         # host traffic is just two [batch] int32 index vectors
         self.train_data_dev = self.dp.replicate(
             {
-                "disp": data.disp_train,
+                "disp": self._to_device_order(data.disp_train),
                 "pose": data.pose_train,
                 "clo": data.clo_train,
             }
         )
+
+    def _to_device_order(self, disp: np.ndarray) -> np.ndarray:
+        if self.vertex_perm is None:
+            return disp
+        return np.ascontiguousarray(disp[:, self.vertex_perm])
 
     # ------------------------------------------------------------------
     def init_or_restore(self, rng: jax.Array):
@@ -176,6 +181,7 @@ class Trainer:
             raise ValueError("no trained state available")
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         disp, pose, clo = self.data.split(split)
+        disp = self._to_device_order(disp)
         n = len(disp)
         bs = cfg.batch_size
         totals: dict[str, float] = {}
@@ -203,6 +209,11 @@ class Trainer:
         cfg = self.cfg
         state = state if state is not None else self.state
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        disp = self._to_device_order(np.asarray(disp))
+        inv = None
+        if self.vertex_perm is not None:
+            inv = np.empty_like(self.vertex_perm)
+            inv[self.vertex_perm] = np.arange(len(self.vertex_perm))
         n = len(disp)
         bs = cfg.batch_size
         outs = []
@@ -217,4 +228,5 @@ class Trainer:
             batch = self.dp.shard_batch(batch)
             pred, _ = self.eval_jit(state.params, self.ctx, batch, jax.random.fold_in(rng, begin))
             outs.append(np.asarray(jax.device_get(pred))[: end - begin])
-        return np.concatenate(outs, axis=0)
+        out = np.concatenate(outs, axis=0)
+        return out if inv is None else np.ascontiguousarray(out[:, inv])

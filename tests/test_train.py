@@ -194,3 +194,28 @@ def test_edge_loss_gradient_finite_at_zero_difference(tiny):
 
     g = jax.grad(lambda p: losses.edge_loss(p, x, ctx.edge_op))(x)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_trainer_does_not_mutate_bodydata(small_mesh):
+    """Regression: the banded-mode Trainer used to permute the BodyData
+    arrays in place, so the post-training demo/test path (which permutes
+    again inside the inference engine) saw scrambled meshes."""
+    verts, faces = small_mesh
+    nv = len(verts)
+    cfg = CAPEConfig(
+        name="no_mutate", nf=4, nz=8, nz_cond=8, nz_cond2=4,
+        use_res_block=False, use_res_block_dec=True, affine=True,
+        reduce_dim=8, batch_size=8, num_epochs=1, data_parallel=1,
+    )
+    pyr = build_pyramid(verts, faces, cfg.ds_factors)
+    pyr_d = build_pyramid(verts, faces, [2, 2, 2, 2])
+    ctx = build_graph_context(
+        pyr, pyr_d, vertices_per_edge(faces, nv), verts, mode="banded"
+    )
+    assert ctx.vertex_perm is not None
+    data = synthetic_bodydata(n_train=48, n_test=8, num_verts=nv, seed=0, n_val=8)
+    before = {k: getattr(data, k).copy() for k in ("disp_train", "disp_val", "disp_test")}
+    trainer = Trainer(cfg, CAPE(cfg), ctx, data, workdir="/tmp/_no_mutate")
+    trainer.fit()
+    for k, v in before.items():
+        np.testing.assert_array_equal(getattr(data, k), v, err_msg=k)
