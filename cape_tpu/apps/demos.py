@@ -220,6 +220,50 @@ class DemoSuite:
         return full
 
     # ------------------------------------------------------------------
+    def sample_gmm_sweep(self, n: int | None = None, gmm=None):
+        """Pose-dependent clothing sampling sweep: for every demo pose and
+        clothing type, draw latents from the GMM prior instead of N(0, I)
+        (BASELINE config #5's generation sweep). Returns
+        [n_pose, n_clotype, n, V, 3] full bodies and exports objs."""
+        from cape_tpu.models.gmm import GMM
+
+        gmm = gmm or GMM.load_pretrained()
+        nz = self.engine.model.cfg.nz
+        if gmm.means.shape[1] != nz:
+            raise ValueError(
+                f"GMM prior is {gmm.means.shape[1]}-dim but model nz={nz}"
+            )
+        n = n or self.n_sample
+        conds = self._demo_conditions()
+        clotypes = np.eye(4, dtype=np.float32)
+        obj_dir = join(self.results_dir, "sample_gmm_sweep")
+
+        outputs = []
+        for p_idx in range(len(conds)):
+            per_pose = []
+            for c_idx, cname in enumerate(CLO_TYPES):
+                pose_emb, clo_emb = self.engine.encode_only_condition(
+                    conds[p_idx : p_idx + 1], clotypes[c_idx : c_idx + 1]
+                )
+                z = np.asarray(
+                    gmm.sample(
+                        jax.random.PRNGKey(int(self.rng.integers(1 << 30))), n
+                    )
+                )
+                z_total = np.concatenate(
+                    [z, np.repeat(pose_emb, n, 0), np.repeat(clo_emb, n, 0)], axis=-1
+                )
+                disp = self.engine.decode(z_total, pose_emb, clo_emb)
+                full = self._disp_to_fullbody(disp * self.train_std + self.train_mean)
+                pose_aa = np.repeat(self.demo_pose[p_idx : p_idx + 1], n, axis=0)
+                self._export(
+                    full, pose_aa, obj_dir, prefix=f"pose{p_idx}_{cname}"
+                )
+                per_pose.append(full)
+            outputs.append(np.stack(per_pose))
+        return np.stack(outputs)
+
+    # ------------------------------------------------------------------
     def run(self):
         self.sample_vary_pose()
         self.sample_vary_clotype()

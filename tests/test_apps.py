@@ -171,3 +171,9 @@ def test_banded_and_ell_modes_agree():
     out_band = eng_band.autoencode(disp, pose, clo, sample=False)
     out_ell = eng_ell.autoencode(disp, pose, clo, sample=False)
     np.testing.assert_allclose(out_band, out_ell, rtol=2e-3, atol=2e-4)
+
+
+def test_sample_gmm_sweep(demo_suite):
+    out = demo_suite.sample_gmm_sweep(n=1)
+    assert out.shape == (6, 4, 1, 6890, 3)      # poses x clotypes x n
+    assert np.all(np.isfinite(out))

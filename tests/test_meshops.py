@@ -130,3 +130,19 @@ def test_shipped_pyramid_level_sizes():
     assert pyr.level_sizes == [6890, 6890, 3445, 3445, 1723, 1723, 862, 862, 862]
     pyr_d = assets.load_pyramid("ds2")
     assert pyr_d.level_sizes == [6890, 3445, 1723, 862, 431]
+
+
+def test_build_pyramid_on_template_matches_shipped_sizes(template):
+    """Our QSlim chain on the real SMPL template reproduces the shipped
+    pyramid's level sizes exactly (6890,6890,3445,3445,1723,1723,862x3).
+    Decimation ordering may differ from psbody's (heap tie-breaking), but
+    the size contract — ceil(V/2) per factor-2 level — must hold."""
+    verts, faces = template
+    pyr = build_pyramid(verts, faces, [1, 2, 1, 2, 1, 2, 1, 1])
+    assert pyr.level_sizes == assets.load_pyramid("for_demo").level_sizes
+    # downsamples are selections, upsamples are barycentric
+    for D in pyr.downsamples:
+        assert np.allclose(sp.csr_matrix(D).data, 1.0)
+    for U in pyr.upsamples:
+        rowsums = np.asarray(sp.csr_matrix(U).sum(axis=1)).ravel()
+        np.testing.assert_allclose(rowsums, 1.0, atol=1e-6)
