@@ -68,27 +68,74 @@ def _forward_losses(model: CAPE, cfg: CAPEConfig, params, ctx: GraphContext, bat
     return loss_g, loss_d, metrics
 
 
+def _gan_losses(model: CAPE, cfg: CAPEConfig, params, ctx: GraphContext, batch, rng):
+    """Both players' losses with per-player gradient blocking, so ONE
+    backward pass yields exactly the stitched two-player gradients:
+
+      * the G loss sees the discriminator through stop_gradient'd D params
+        (its D cotangents are zero by construction);
+      * the D loss sees stop_gradient'd generator outputs and condition
+        embeddings (the reference computes-then-discards dLoss_d/dG,
+        lib/models.py:464-467 — here the wasted full generator backward is
+        never built).
+
+    Gradients of (loss_g + loss_d) match jax.grad(loss_g) on the G/cond
+    subtrees and jax.grad(loss_d) on the D subtree (tested)."""
+    sg = jax.lax.stop_gradient
+
+    y_g, y2_g = model.embed_conditions(params, batch["pose_g"], batch["clo_g"])
+    y_d, y2_d = model.embed_conditions(params, batch["pose_d"], batch["clo_d"])
+    x_hat, z_mean, z_logvar, _ = model.generate(
+        params, ctx, batch["disp_g"], y_g, y2_g, rng
+    )
+
+    params_d_frozen = dict(params)
+    params_d_frozen["discriminator"] = sg(params["discriminator"])
+    d_fake_for_g = model.discriminate(params_d_frozen, ctx, x_hat, y_g, y2_g)
+
+    d_real = model.discriminate(params, ctx, batch["disp_d"], sg(y_d), sg(y2_d))
+    d_fake_for_d = model.discriminate(params, ctx, sg(x_hat), sg(y_g), sg(y2_g))
+
+    gt = batch["disp_g"].astype(x_hat.dtype)
+    mask = ctx.loss_mask if ctx.loss_mask.ndim > 0 else None
+    recon = losses.reconstruction_loss(x_hat, gt, mask=mask, kind=cfg.loss)
+    kl = losses.kl_loss(z_mean, z_logvar)
+    edge = losses.edge_loss(x_hat, gt, ctx.edge_op)
+    gan_g = losses.gan_generator_loss(d_fake_for_g)
+    gan_d = losses.gan_discriminator_loss(d_real, d_fake_for_d)
+    reg_g = losses.regularization_scale(cfg.regularization) * losses.generator_fc_l2(params)
+
+    loss_g = (
+        cfg.lambda_gan * gan_g
+        + cfg.lambda_recon * recon
+        + cfg.lambda_edge * edge
+        + cfg.lambda_latent * kl
+        + reg_g
+    )
+    loss_d = cfg.lambda_gan * gan_d
+    metrics = {
+        "loss_g": loss_g,
+        "loss_d": loss_d,
+        "recon": recon,
+        "kl": kl,
+        "edge": edge,
+        "gan_g": gan_g,
+        "gan_d": gan_d,
+        "reg_g": reg_g,
+    }
+    return loss_g + loss_d, metrics
+
+
 def build_train_step(model: CAPE, cfg: CAPEConfig, tx):
     """Returns step_fn(state, ctx, batch, rng) -> (state, metrics)."""
 
-    def loss_g_fn(params, ctx, batch, rng):
-        loss_g, _, metrics = _forward_losses(model, cfg, params, ctx, batch, rng)
-        return loss_g, metrics
-
-    def loss_d_fn(params, ctx, batch, rng):
-        _, loss_d, _ = _forward_losses(model, cfg, params, ctx, batch, rng)
-        return loss_d
+    def total_loss_fn(params, ctx, batch, rng):
+        return _gan_losses(model, cfg, params, ctx, batch, rng)
 
     def step_fn(state: TrainState, ctx: GraphContext, batch: dict, rng: jax.Array):
-        (_, metrics), grads_g = jax.value_and_grad(loss_g_fn, has_aux=True)(
+        (_, metrics), grads = jax.value_and_grad(total_loss_fn, has_aux=True)(
             state.params, ctx, batch, rng
         )
-        grads_d = jax.grad(loss_d_fn)(state.params, ctx, batch, rng)
-
-        # stitch: G-labelled subtrees take grads_g, D-labelled take grads_d
-        grads = dict(grads_g)
-        grads["discriminator"] = grads_d["discriminator"]
-
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(
             lambda p, u: p + u.astype(p.dtype), state.params, updates

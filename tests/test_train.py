@@ -219,3 +219,45 @@ def test_trainer_does_not_mutate_bodydata(small_mesh):
     trainer.fit()
     for k, v in before.items():
         np.testing.assert_array_equal(getattr(data, k), v, err_msg=k)
+
+
+def test_single_backward_matches_stitched_two_player_grads(tiny):
+    """The combined stop_gradient-blocked loss must yield exactly the
+    stitched gradients: jax.grad(loss_g) on G/cond subtrees and
+    jax.grad(loss_d) on the discriminator subtree."""
+    from cape_tpu.train.step import _forward_losses, _gan_losses
+
+    cfg, ctx, data = tiny
+    model = CAPE(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), ctx)
+    sg, sd = BatchStream(80, cfg.batch_size, 0), BatchStream(80, cfg.batch_size, 1)
+    batch = {k: jnp.asarray(v) for k, v in make_gan_batch(data, sg, sd).items()}
+    rng = jax.random.PRNGKey(5)
+
+    combined = jax.jit(
+        jax.grad(lambda p: _gan_losses(model, cfg, p, ctx, batch, rng)[0])
+    )(params)
+    g_only = jax.jit(
+        jax.grad(lambda p: _forward_losses(model, cfg, p, ctx, batch, rng)[0])
+    )(params)
+    d_only = jax.jit(
+        jax.grad(lambda p: _forward_losses(model, cfg, p, ctx, batch, rng)[1])
+    )(params)
+
+    for group in ("generator", "cond_pose", "cond_clo"):
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(combined[group])[0],
+            jax.tree_util.tree_flatten_with_path(g_only[group])[0],
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+                err_msg=f"{group}{jax.tree_util.keystr(pa)}",
+            )
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(combined["discriminator"])[0],
+        jax.tree_util.tree_flatten_with_path(d_only["discriminator"])[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+            err_msg=f"disc{jax.tree_util.keystr(pa)}",
+        )
