@@ -50,6 +50,12 @@ def cheb_conv(x: jnp.ndarray, lap, weight: jnp.ndarray) -> jnp.ndarray:
             from cape_tpu.ops.pallas.cheb_kernel import cheb2_banded_pallas_v2
 
             return cheb2_banded_pallas_v2(x, lap, weight)
+    # per-order accumulation. The concat-then-matmul alternative (the
+    # reference's formulation) measures 23-29% faster for the isolated
+    # forward (fatter K*Fin contraction) but 19% slower for the full
+    # fwd+bwd step — the materialized [B, V, K*Fin] concat costs more in
+    # backward than the fatter matmul saves. Measured on v5e; see
+    # docs/PERF.md.
     acc = None
     for k, xk in enumerate(cheb_basis(x, lap, K)):
         term = jnp.einsum(
