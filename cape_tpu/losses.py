@@ -25,11 +25,14 @@ import jax
 import jax.numpy as jnp
 
 
-def reconstruction_loss(pred, gt, mask=None, kind: str = "l1", huber_delta: float = 0.1):
-    """Weighted-mean reconstruction loss over all elements.
+def reconstruction_loss_per_sample(pred, gt, mask=None, kind: str = "l1",
+                                   huber_delta: float = 0.1):
+    """Per-sample weighted-mean reconstruction loss, shape [B].
 
     mask: None or per-vertex weights [V]; TF's Reduction.MEAN semantics
-    (sum(w * l) / sum(w)) are used when a mask is given.
+    (sum(w * l) / sum(w)) are used when a mask is given. The weights are
+    identical per sample, so the batch mean of this equals the reference's
+    whole-batch weighted mean.
     """
     diff = pred - gt
     if kind == "l1":
@@ -39,33 +42,43 @@ def reconstruction_loss(pred, gt, mask=None, kind: str = "l1", huber_delta: floa
         el = jnp.where(a <= huber_delta, 0.5 * a * a, huber_delta * (a - 0.5 * huber_delta))
     else:  # l2
         el = diff * diff
+    non_batch = tuple(range(1, el.ndim))
     if mask is None:
-        return jnp.mean(el)
+        return jnp.mean(el, axis=non_batch)
     w = jnp.broadcast_to(mask.astype(el.dtype)[None, :, None], el.shape)
-    return jnp.sum(w * el) / jnp.maximum(jnp.sum(w), 1e-12)
+    return jnp.sum(w * el, axis=non_batch) / jnp.maximum(
+        jnp.sum(w, axis=non_batch), 1e-12
+    )
 
 
-def kl_loss(z_mean, z_logvar):
-    """Mean over batch of the per-sample KL(q(z|x) || N(0, I))
-    (lib/models.py:370-372).
+def reconstruction_loss(pred, gt, mask=None, kind: str = "l1", huber_delta: float = 0.1):
+    """Batch-mean reconstruction loss (reference whole-batch reduction)."""
+    return jnp.mean(reconstruction_loss_per_sample(pred, gt, mask, kind, huber_delta))
+
+
+def kl_loss_per_sample(z_mean, z_logvar):
+    """Per-sample KL(q(z|x) || N(0, I)), shape [B] (lib/models.py:370-372).
 
     The exp is clamped (see CAPE.sample_z): the linear logvar term keeps
     its gradient, so an over-large init logvar is still pulled down
     instead of producing inf/NaN losses.
     """
-    per_sample = -0.5 * jnp.sum(
+    return -0.5 * jnp.sum(
         1.0
         + z_logvar
         - jnp.square(z_mean)
         - jnp.exp(jnp.clip(z_logvar, -30.0, 30.0)),
         axis=-1,
     )
-    return jnp.mean(per_sample)
 
 
-def edge_loss(pred, gt, edge_op):
-    """Mean length of difference vectors between corresponding mesh edges of
-    pred and gt (lib/losses.py:9-25).
+def kl_loss(z_mean, z_logvar):
+    """Mean over batch of the per-sample KL."""
+    return jnp.mean(kl_loss_per_sample(z_mean, z_logvar))
+
+
+def edge_loss_per_sample(pred, gt, edge_op):
+    """Per-sample mean edge-difference length, shape [B] (lib/losses.py:9-25).
 
     edge_op is the [E, V] edge-difference operator from the GraphContext
     (banded/gather-free on TPU); mean over edges is order-invariant, so
@@ -75,7 +88,12 @@ def edge_loss(pred, gt, edge_op):
     # eps inside the sqrt: the norm's gradient at exactly-zero difference
     # is NaN and would poison training (value shift is ~1e-6, negligible
     # against typical normalized edge diffs ~ O(1))
-    return jnp.mean(jnp.sqrt(jnp.sum(jnp.square(edge_diff), axis=-1) + 1e-12))
+    return jnp.mean(jnp.sqrt(jnp.sum(jnp.square(edge_diff), axis=-1) + 1e-12), axis=-1)
+
+
+def edge_loss(pred, gt, edge_op):
+    """Batch-and-edge mean of edge-difference lengths."""
+    return jnp.mean(edge_loss_per_sample(pred, gt, edge_op))
 
 
 def edge_loss_indexed(pred, gt, edges):

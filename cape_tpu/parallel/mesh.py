@@ -93,6 +93,8 @@ class DataParallel:
         )
 
     def compile_eval_step(self, eval_fn):
+        # both outputs carry the batch axis (pred [B,V,3], per-sample
+        # metric vectors [B]) and stay sharded over it
         return jax.jit(
             eval_fn,
             in_shardings=(
@@ -101,7 +103,7 @@ class DataParallel:
                 self.batch_sharding,
                 self.replicated,
             ),
-            out_shardings=(self.batch_sharding, self.replicated),
+            out_shardings=(self.batch_sharding, self.batch_sharding),
         )
 
     def pad_batch_size(self, global_batch: int) -> int:

@@ -171,9 +171,12 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def evaluate(self, split: str = "val", state=None, rng=None) -> dict:
-        """Batched eval over a split; partial tail batch is padded and its
-        metrics weighted by true sample count (fixes the reference's
-        dropped-tail-batch quirk, lib/models.py:1083-1088)."""
+        """Batched eval over a split. The partial tail batch is padded to
+        the fixed batch size, and since eval_fn returns per-sample loss
+        vectors, only the real rows enter the averages — the pad rows'
+        garbage losses are discarded exactly (fixes the reference's
+        dropped-tail-batch quirk, lib/models.py:1083-1088, without
+        introducing padding bias)."""
         cfg = self.cfg
         state = state if state is not None else getattr(self, "state", None)
         params = state.params if state is not None else None
@@ -198,7 +201,8 @@ class Trainer:
             _, metrics = self.eval_jit(params, self.ctx, batch, jax.random.fold_in(rng, begin))
             w = end - begin
             for k, v in jax.device_get(metrics).items():
-                totals[k] = totals.get(k, 0.0) + float(v) * w
+                # per-sample vector [bs]; real rows are the first w
+                totals[k] = totals.get(k, 0.0) + float(np.sum(np.asarray(v)[:w]))
             count += w
         return {k: v / max(count, 1) for k, v in totals.items()}
 

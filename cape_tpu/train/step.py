@@ -178,10 +178,16 @@ def build_resident_train_step(model: CAPE, cfg: CAPEConfig, tx):
 
 
 def build_eval_step(model: CAPE, cfg: CAPEConfig):
-    """Returns eval_fn(params, ctx, batch, rng) -> (pred, metrics).
+    """Returns eval_fn(params, ctx, batch, rng) -> (pred, per_sample_metrics).
 
     Mirrors the reference's `predict` losses (lib/models.py:1018-1092):
     reconstruction through the sampled-z path, KL, edge.
+
+    Metrics are PER-SAMPLE vectors [B], not batch means: eval batches may
+    be padded to the fixed batch size, and a batch-mean would average the
+    pad rows' garbage losses into the result (the reference instead drops
+    the tail batch entirely, lib/models.py:1083-1088 — also wrong). The
+    host caller reduces over real rows only (Trainer.evaluate).
     """
 
     def eval_fn(params, ctx: GraphContext, batch: dict, rng: jax.Array):
@@ -192,9 +198,11 @@ def build_eval_step(model: CAPE, cfg: CAPEConfig):
         gt = batch["disp"].astype(x_hat.dtype)
         mask = ctx.loss_mask if ctx.loss_mask.ndim > 0 else None
         metrics = {
-            "recon": losses.reconstruction_loss(x_hat, gt, mask=mask, kind=cfg.loss),
-            "kl": losses.kl_loss(z_mean, z_logvar),
-            "edge": losses.edge_loss(x_hat, gt, ctx.edge_op),
+            "recon": losses.reconstruction_loss_per_sample(
+                x_hat, gt, mask=mask, kind=cfg.loss
+            ),
+            "kl": losses.kl_loss_per_sample(z_mean, z_logvar),
+            "edge": losses.edge_loss_per_sample(x_hat, gt, ctx.edge_op),
         }
         return x_hat.astype(jnp.float32), metrics
 

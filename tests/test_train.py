@@ -221,6 +221,62 @@ def test_trainer_does_not_mutate_bodydata(small_mesh):
         np.testing.assert_array_equal(getattr(data, k), v, err_msg=k)
 
 
+def test_eval_tail_padding_does_not_contaminate_metrics(small_mesh, tmp_path):
+    """Regression: evaluate() pads the last partial batch to the fixed
+    batch size; the pad rows' garbage losses must NOT enter the averages.
+    Oracle: same padded forward (same rng bits), scalar losses recomputed
+    over only the real rows."""
+    from cape_tpu import losses
+    from cape_tpu.train.optim import create_train_state
+
+    verts, faces = small_mesh
+    nv = len(verts)
+    cfg = CAPEConfig(
+        name="eval_tail", nf=4, nz=8, nz_cond=8, nz_cond2=4,
+        use_res_block=False, use_res_block_dec=True, affine=True,
+        reduce_dim=8, batch_size=8, num_epochs=1, data_parallel=1,
+    )
+    pyr = build_pyramid(verts, faces, cfg.ds_factors)
+    pyr_d = build_pyramid(verts, faces, [2, 2, 2, 2])
+    ctx = build_graph_context(pyr, pyr_d, vertices_per_edge(faces, nv), verts)
+    # n_val=12, bs=8 -> tail batch has 4 real + 4 pad rows
+    data = synthetic_bodydata(n_train=44, n_test=8, num_verts=nv, seed=0, n_val=12)
+    model = CAPE(cfg)
+    trainer = Trainer(cfg, model, ctx, data, workdir=str(tmp_path))
+    tx, _, _ = build_optimizer(cfg, steps_per_epoch=10)
+    state = create_train_state(model.init_params(jax.random.PRNGKey(0), ctx), tx)
+
+    rng = jax.random.PRNGKey(7)
+    got = trainer.evaluate("val", state=state, rng=rng)
+
+    # oracle: replay the padded batches, reduce over real rows only
+    disp, pose, clo = data.split("val")
+    disp = trainer._to_device_order(disp)
+    n, bs = len(disp), cfg.batch_size
+    totals = {"recon": 0.0, "kl": 0.0, "edge": 0.0}
+    mask = ctx.loss_mask if ctx.loss_mask.ndim > 0 else None
+    for begin in range(0, n, bs):
+        end = min(begin + bs, n)
+        w = end - begin
+        pad = bs - w
+        d = jnp.asarray(np.concatenate([disp[begin:end], np.zeros((pad,) + disp.shape[1:], disp.dtype)]))
+        p = jnp.asarray(np.concatenate([pose[begin:end], np.zeros((pad,) + pose.shape[1:], pose.dtype)]))
+        c = jnp.asarray(np.concatenate([clo[begin:end], np.zeros((pad,) + clo.shape[1:], clo.dtype)]))
+        y, y2 = model.embed_conditions(state.params, p, c)
+        x_hat, zm, zl, _ = model.generate(
+            state.params, ctx, d, y, y2, jax.random.fold_in(rng, begin)
+        )
+        gt = d.astype(x_hat.dtype)
+        totals["recon"] += w * float(
+            losses.reconstruction_loss(x_hat[:w], gt[:w], mask=mask, kind=cfg.loss)
+        )
+        totals["kl"] += w * float(losses.kl_loss(zm[:w], zl[:w]))
+        totals["edge"] += w * float(losses.edge_loss(x_hat[:w], gt[:w], ctx.edge_op))
+    oracle = {k: v / n for k, v in totals.items()}
+    for k in oracle:
+        np.testing.assert_allclose(got[k], oracle[k], rtol=1e-5, atol=1e-6, err_msg=k)
+
+
 def test_single_backward_matches_stitched_two_player_grads(tiny):
     """The combined stop_gradient-blocked loss must yield exactly the
     stitched gradients: jax.grad(loss_g) on G/cond subtrees and
