@@ -40,16 +40,14 @@ class InferenceEngine:
             self._inv_perm = np.empty_like(self.vertex_perm)
             self._inv_perm[self.vertex_perm] = np.arange(len(self.vertex_perm))
 
+        # ctx is an explicit jit argument, never a closure: closed-over
+        # GraphContext constants get inlined into the HLO and the remote
+        # compile upload fails (HTTP 413) — see CLAUDE.md and the
+        # tests/test_apps.py jit-closure lint
         self._embed = jax.jit(model.embed_conditions)
-        self._encode = jax.jit(
-            lambda p, x, y, y2: model.encode(p, ctx, x, y, y2)
-        )
-        self._decode = jax.jit(
-            lambda p, zt, y, y2: model.decode(p, ctx, zt, y, y2)
-        )
-        self._discriminate = jax.jit(
-            lambda p, x, y, y2: model.discriminate(p, ctx, x, y, y2)
-        )
+        self._encode = jax.jit(model.encode)
+        self._decode = jax.jit(model.decode)
+        self._discriminate = jax.jit(model.discriminate)
 
     # ------------------------------------------------------------------
     def _batched(self, fn, n: int, *arrays):
@@ -94,7 +92,7 @@ class InferenceEngine:
 
         def fn(d, p, c):
             y, y2 = self._embed(self.params, p, c)
-            zm, zl = self._encode(self.params, d, y, y2)
+            zm, zl = self._encode(self.params, self.ctx, d, y, y2)
             return zm, zl, y, y2
 
         return self._batched(fn, len(disp), disp, pose, clo)
@@ -111,7 +109,7 @@ class InferenceEngine:
         if y2.shape[0] == 1:
             y2 = np.repeat(y2, n, axis=0)
         (out,) = self._batched(
-            lambda z, a, b: self._decode(self.params, z, a, b), n, z_total, y, y2
+            lambda z, a, b: self._decode(self.params, self.ctx, z, a, b), n, z_total, y, y2
         )
         return self._to_natural_order(out)
 

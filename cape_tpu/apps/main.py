@@ -74,7 +74,7 @@ def restore_params(cfg: CAPEConfig, model: CAPE, ctx, workdir: str = "results"):
     latest = ckpt.latest_checkpoint(ckpt_dir)
     if latest is None:
         raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
-    params = jax.jit(lambda r: model.init_params(r, ctx))(jax.random.PRNGKey(0))
+    params = jax.jit(model.init_params)(jax.random.PRNGKey(0), ctx)
     tx, _, _ = build_optimizer(cfg, steps_per_epoch=1)
     template = jax.device_get(create_train_state(params, tx))
     state = ckpt.restore_checkpoint(latest, template)
@@ -100,6 +100,7 @@ def run(cfg: CAPEConfig, workdir: str = "results") -> None:
         demos = DemoSuite(
             engine, cfg.name, cfg.dataset, cfg.gender, cfg.demo_n_sample,
             cfg.save_obj, cfg.smpl_model_folder, workdir, cfg.seed,
+            vis=cfg.vis_demo,
         )
         demos.test_model(data)
         demos.run()
@@ -109,6 +110,7 @@ def run(cfg: CAPEConfig, workdir: str = "results") -> None:
         demos = DemoSuite(
             engine, cfg.name, cfg.dataset, cfg.gender, cfg.demo_n_sample,
             cfg.save_obj, cfg.smpl_model_folder, workdir, cfg.seed,
+            vis=cfg.vis_demo,
         )
         if cfg.mode == "test":
             data = load_bodydata(cfg)

@@ -41,7 +41,7 @@ def main(argv=None):
 
     if args.params:
         template = jax.device_get(
-            jax.jit(lambda r: model.init_params(r, ctx))(jax.random.PRNGKey(0))
+            jax.jit(model.init_params)(jax.random.PRNGKey(0), ctx)
         )
         with np.load(args.params, allow_pickle=False) as data:
             params = unflatten_tree(dict(data), template)
