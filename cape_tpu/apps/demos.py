@@ -49,12 +49,17 @@ class DemoSuite:
         smpl_model_folder: str = "body_models",
         results_root: str = "results",
         seed: int = 123,
+        vis: bool = False,
     ):
         self.engine = engine
         self.name = name
         self.dataset = dataset
         self.n_sample = n_sample
         self.save_objs = save_objs
+        # vis_demo flag (reference config_parser.py:59): instead of the
+        # reference's interactive MeshViewers grid (demos.py:225-246) we
+        # write offscreen-rendered PNG contact sheets next to the .objs
+        self.vis = vis
         self.rng = np.random.default_rng(seed)
 
         self.clothing_verts_idx = assets.clothing_verts_idx()
@@ -277,7 +282,7 @@ class DemoSuite:
         return masked + self.minimal_shape
 
     def _export(self, fullbody: np.ndarray, pose_aa: np.ndarray | None, obj_dir: str, prefix: str):
-        if not self.save_objs:
+        if not (self.save_objs or self.vis):
             return
         os.makedirs(obj_dir, exist_ok=True)
         verts = fullbody
@@ -285,8 +290,13 @@ class DemoSuite:
             verts = np.asarray(
                 lbs(self.smpl, pose_aa.astype(np.float32), v_template=fullbody.astype(np.float32))
             )
-        for i, v in enumerate(verts):
-            save_obj(join(obj_dir, f"{prefix}_{i:04d}.obj"), v, self.faces)
+        if self.save_objs:
+            for i, v in enumerate(verts):
+                save_obj(join(obj_dir, f"{prefix}_{i:04d}.obj"), v, self.faces)
+        if self.vis:
+            from cape_tpu.meshops.render import contact_sheet
+
+            contact_sheet(verts, self.faces, join(obj_dir, f"{prefix}_sheet.png"))
 
 
 class SimpleDemo:

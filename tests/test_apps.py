@@ -177,3 +177,38 @@ def test_sample_gmm_sweep(demo_suite):
     out = demo_suite.sample_gmm_sweep(n=1)
     assert out.shape == (6, 4, 1, 6890, 3)      # poses x clotypes x n
     assert np.all(np.isfinite(out))
+
+
+def test_render_contact_sheet(small_mesh, tmp_path):
+    """Offscreen renderer: an icosphere must produce a shaded foreground
+    disk, not a blank or uniform image."""
+    from PIL import Image
+
+    from cape_tpu.meshops.render import contact_sheet, render_mesh
+
+    verts, faces = small_mesh
+    img = render_mesh(verts, faces, size=128)
+    assert img.shape == (128, 128, 3) and img.dtype == np.uint8
+    fg = img[..., 0] < 250
+    assert 0.2 < fg.mean() < 0.9, f"foreground fraction {fg.mean()}"
+    assert img[fg].std() > 5, "no shading variation"
+
+    path = str(tmp_path / "sheet.png")
+    contact_sheet(np.stack([verts, verts + 0.1]), faces, path, size=96)
+    with Image.open(path) as sheet:
+        assert sheet.size == (192, 96)
+
+
+def test_demo_vis_flag_writes_pngs(engine, tmp_path):
+    """vis_demo wiring: DemoSuite(vis=True) emits a contact sheet next to
+    the .objs (replaces the reference MeshViewers path, demos.py:225-246)."""
+    suite = DemoSuite(
+        engine, name="vis_test", n_sample=2, save_objs=False, vis=True,
+        smpl_model_folder="/nonexistent", results_root=str(tmp_path), seed=0,
+    )
+    suite.sample_vary_clotype()
+    obj_dir = os.path.join(suite.results_dir, "sample_vary_clotype")
+    pngs = [f for f in os.listdir(obj_dir) if f.endswith("_sheet.png")]
+    assert len(pngs) == 4, pngs
+    objs = [f for f in os.listdir(obj_dir) if f.endswith(".obj")]
+    assert objs == []                               # save_objs=False respected
