@@ -96,3 +96,69 @@ def test_convert_roundtrip_flagship(ctx):
         np.testing.assert_array_equal(
             np.asarray(leaf), np.asarray(flat_b[key]), err_msg=key
         )
+
+
+def test_convert_applies_vertex_perm_to_out_bias(ctx):
+    """The reference stores the per-vertex decoder output bias in natural
+    (template) vertex order; the banded runtime stores it RCM-permuted.
+    convert(vertex_perm=...) must translate."""
+    cfg = CAPEConfig(
+        nz=64, nz_cond=32, nz_cond2=32, use_res_block=False,
+        use_res_block_dec=True, affine=True, reduce_dim=64,
+    )
+    model = CAPE(cfg)
+    params = jax.device_get(model.init_params(jax.random.PRNGKey(0), ctx))
+    perm = np.asarray(ctx.vertex_perm)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+
+    tfvars = _synthesize_tfvars(params, cfg)
+    # rewrite the out bias into natural order (as a real TF ckpt stores it)
+    dev_b = np.asarray(params["generator"]["decoder"]["out"]["b"])
+    tfvars["generator/decoder/outputs/bias"] = dev_b[inv][None]
+
+    converted = convert(tfvars, cfg, vertex_perm=perm)
+    np.testing.assert_array_equal(
+        np.asarray(converted["generator"]["decoder"]["out"]["b"]), dev_b
+    )
+
+
+def test_converted_npz_drives_simple_demo_cli(ctx, tmp_path):
+    """The reference's headline user journey (README.md:24-35): pretrained
+    checkpoint -> demo. Fabricate a reference-named variable set for the
+    flagship config, convert, write the .npz, and push it through the
+    simple-demo CLI end to end."""
+    from cape_tpu.apps import simple_demo
+    from cape_tpu.core.config import load_config
+    from cape_tpu.train.checkpoint import flatten_tree
+
+    config_path = "configs/CAPE-affineconv_nz64_pose32_clotype32_male.yaml"
+    cfg = load_config(config_path)
+    model = CAPE(cfg)
+    params = jax.device_get(model.init_params(jax.random.PRNGKey(1), ctx))
+    perm = np.asarray(ctx.vertex_perm)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+
+    tfvars = _synthesize_tfvars(params, cfg)
+    tfvars["generator/decoder/outputs/bias"] = np.asarray(
+        params["generator"]["decoder"]["out"]["b"]
+    )[inv][None]
+    converted = convert(tfvars, cfg, vertex_perm=perm)
+    verify_against_template(converted, model, ctx)
+
+    npz = str(tmp_path / "converted_params.npz")
+    np.savez(npz, **flatten_tree(converted))
+
+    simple_demo.main(
+        ["--config", config_path, "--params", npz,
+         "--results_dir", str(tmp_path / "demo_results")]
+    )
+    out_dir = tmp_path / "demo_results" / "sample_vary_clotype"
+    objs = sorted(p.name for p in out_dir.glob("*.obj"))
+    assert len(objs) == 12, objs          # 4 clotypes x 3 samples
+    # exported meshes are finite and body-scaled
+    from cape_tpu.meshops.obj_io import load_obj
+
+    v, _ = load_obj(str(out_dir / objs[0]))
+    assert np.all(np.isfinite(v)) and 0.1 < np.ptp(v) < 10.0
