@@ -52,8 +52,11 @@ def main(num_steps: int = 64, warmup: int = 8) -> dict:
     from __graft_entry__ import _flagship_setup
 
     t_setup = time.perf_counter()
-    cfg, model, ctx = _flagship_setup()
-    params = jax.jit(lambda rng: model.init_params(rng, ctx))(jax.random.PRNGKey(0))
+    # bfloat16 mixed precision (params f32, compute bf16) is the production
+    # config: end-metric equivalence with f32 is recorded in docs/PERF.md
+    # (cape_tpu.tools.dtype_ablation — euclidean metric gap 0.03%)
+    cfg, model, ctx = _flagship_setup(compute_dtype="bfloat16")
+    params = jax.jit(model.init_params)(jax.random.PRNGKey(0), ctx)
     tx, _, _ = build_optimizer(cfg, steps_per_epoch=1940)  # male-set epochs
 
     dp = DataParallel()

@@ -1,0 +1,218 @@
+"""Hard-synced microbenchmarks for the hot path (TPU via remote attach).
+
+Every timing ends in a jax.device_get of a scalar reduction — on the
+remote-attached backend block_until_ready does not reliably block (see
+docs/PERF.md), so this is the only honest protocol. Calls are chained in
+groups to amortize the ~29 ms sync round-trip.
+
+  python -m cape_tpu.tools.perf_lab conv     # per-conv: XLA banded vs pallas v2
+  python -m cape_tpu.tools.perf_lab parts    # enc/dec/disc fwd vs fwd+bwd
+  python -m cape_tpu.tools.perf_lab step     # full train step, f32 + bf16
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def _timed(fn, args, iters=32, group=8, warmup=3):
+    """Median per-call ms of jitted fn(*args); sync via scalar fetch."""
+    import jax
+    import jax.numpy as jnp
+
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.device_get(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+    times = []
+    done = 0
+    while done < iters:
+        t0 = time.perf_counter()
+        for _ in range(group):
+            out = fn(*args)
+        jax.device_get(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+        times.append((time.perf_counter() - t0) / group)
+        done += group
+    times.sort()
+    return 1000.0 * times[len(times) // 2]
+
+
+def _flagship_ctx(dtype):
+    import numpy as np
+
+    from cape_tpu.meshops import assets
+    from cape_tpu.ops.sparse import build_graph_context
+
+    verts, _ = assets.template_mesh()
+    return build_graph_context(
+        assets.load_pyramid("for_demo"), assets.load_pyramid("ds2"),
+        assets.smpl_edges(), verts, dtype=np.dtype(dtype),
+    )
+
+
+def cmd_conv(args):
+    """One K=2 Chebyshev conv at flagship level-0 shapes: XLA banded vs
+    Pallas v2, fwd and fwd+bwd, f32 and bf16."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cape_tpu.ops.cheb import cheb_conv
+    from cape_tpu.ops.pallas.cheb_kernel import cheb2_banded_pallas_v2
+
+    B, C, F = args.batch, args.channels, args.channels
+    results = {}
+    for dtype_name in ("float32", "bfloat16"):
+        dt = jnp.dtype(dtype_name)
+        ctx = _flagship_ctx(dtype_name)
+        lap = ctx.lap[0]
+        V = lap.n_rows
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((B, V, C)), dt)
+        w = jnp.asarray(rng.standard_normal((2, C, F)) * 0.1, dt)
+
+        xla_fwd = jax.jit(lambda x, lap, w: cheb_conv(x, lap, w))
+        pal_fwd = jax.jit(lambda x, lap, w: cheb2_banded_pallas_v2(x, lap, w))
+
+        def loss_xla(x, lap, w):
+            return jnp.sum(cheb_conv(x, lap, w) ** 2)
+
+        def loss_pal(x, lap, w):
+            return jnp.sum(cheb2_banded_pallas_v2(x, lap, w) ** 2)
+
+        xla_fb = jax.jit(jax.grad(loss_xla, argnums=(0, 2)))
+        pal_fb = jax.jit(jax.grad(loss_pal, argnums=(0, 2)))
+
+        r = {
+            "xla_fwd_ms": _timed(xla_fwd, (x, lap, w)),
+            "pallas_fwd_ms": _timed(pal_fwd, (x, lap, w)),
+            "xla_fwdbwd_ms": _timed(xla_fb, (x, lap, w)),
+            "pallas_fwdbwd_ms": _timed(pal_fb, (x, lap, w)),
+        }
+        # numeric agreement
+        ref = np.asarray(jax.device_get(xla_fwd(x, lap, w)), np.float32)
+        got = np.asarray(jax.device_get(pal_fwd(x, lap, w)), np.float32)
+        r["max_rel_err"] = float(
+            np.max(np.abs(ref - got)) / max(np.max(np.abs(ref)), 1e-9)
+        )
+        results[dtype_name] = {k: round(v, 4) for k, v in r.items()}
+        print(json.dumps({"conv": dtype_name, "B": B, "C": C, **results[dtype_name]}), flush=True)
+    return results
+
+
+def cmd_parts(args):
+    """Encoder / decoder / discriminator fwd vs fwd+bwd at flagship config."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cape_tpu.core.config import CAPEConfig
+    from cape_tpu.models.cape import CAPE
+
+    cfg = CAPEConfig(
+        name="perflab", nz=64, nz_cond=32, nz_cond2=32, nf=64,
+        use_res_block=False, use_res_block_dec=True, affine=True,
+        reduce_dim=64, batch_size=args.batch, compute_dtype=args.dtype,
+    )
+    ctx = _flagship_ctx(args.dtype)
+    model = CAPE(cfg)
+    params = jax.jit(model.init_params)(jax.random.PRNGKey(0), ctx)
+    rng = np.random.default_rng(0)
+    B = args.batch
+    x = jnp.asarray(rng.standard_normal((B, 6890, 3)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((B, cfg.nz_cond)), jnp.float32)
+    y2 = jnp.asarray(rng.standard_normal((B, cfg.nz_cond2)), jnp.float32)
+    zt = jnp.asarray(
+        rng.standard_normal((B, cfg.nz + cfg.nz_cond + cfg.nz_cond2)), jnp.float32
+    )
+
+    parts = {
+        "enc": (lambda p, c: jnp.sum(model.encode(p, c, x, y, y2)[0] ** 2)),
+        "dec": (lambda p, c: jnp.sum(model.decode(p, c, zt, y, y2) ** 2)),
+        "disc": (lambda p, c: jnp.sum(model.discriminate(p, c, x, y, y2) ** 2)),
+    }
+    out = {}
+    for name, loss in parts.items():
+        fwd = jax.jit(loss)
+        fb = jax.jit(jax.grad(loss))
+        f = _timed(fwd, (params, ctx))
+        b = _timed(fb, (params, ctx))
+        out[name] = {"fwd_ms": round(f, 3), "fwdbwd_ms": round(b, 3),
+                     "ratio": round(b / f, 2)}
+        print(json.dumps({"part": name, "dtype": args.dtype, **out[name]}), flush=True)
+    return out
+
+
+def cmd_step(args):
+    """Full GAN train step (the bench workload) at a given dtype/batch."""
+    import jax
+    import numpy as np
+
+    from cape_tpu.core.config import CAPEConfig
+    from cape_tpu.data.loader import BatchStream, make_gan_batch
+    from cape_tpu.data.synthetic import synthetic_bodydata
+    from cape_tpu.models.cape import CAPE
+    from cape_tpu.train.optim import build_optimizer, create_train_state
+    from cape_tpu.train.step import build_train_step
+
+    cfg = CAPEConfig(
+        name="perflab_step", nz=64, nz_cond=32, nz_cond2=32, nf=64,
+        use_res_block=False, use_res_block_dec=True, affine=True,
+        reduce_dim=64, lambda_edge=1.0, batch_size=args.batch,
+        compute_dtype=args.dtype,
+    )
+    ctx = _flagship_ctx(args.dtype)
+    model = CAPE(cfg)
+    params = jax.jit(model.init_params)(jax.random.PRNGKey(0), ctx)
+    tx, _, _ = build_optimizer(cfg, steps_per_epoch=1940)
+    step_fn = jax.jit(build_train_step(model, cfg, tx), donate_argnums=(0,))
+
+    data = synthetic_bodydata(n_train=256, n_test=8, num_verts=6890, seed=0)
+    sg = BatchStream(256 - 32, cfg.batch_size, 0)
+    sd = BatchStream(256 - 32, cfg.batch_size, 1)
+    batch = {k: jax.numpy.asarray(v) for k, v in make_gan_batch(data, sg, sd).items()}
+    state = create_train_state(params, tx)
+    rng = jax.random.PRNGKey(0)
+
+    import time as _t
+
+    for i in range(4):
+        state, metrics = step_fn(state, ctx, batch, jax.random.fold_in(rng, i))
+    jax.device_get(metrics["loss_g"])
+    times = []
+    for g in range(6):
+        t0 = _t.perf_counter()
+        for j in range(8):
+            state, metrics = step_fn(state, ctx, batch, jax.random.fold_in(rng, 10 + g * 8 + j))
+        jax.device_get(metrics["loss_g"])
+        times.append((_t.perf_counter() - t0) / 8)
+    times.sort()
+    ms = 1000.0 * times[len(times) // 2]
+    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+    assert all(np.isfinite(v) for v in m.values()), m
+    print(json.dumps({
+        "step_ms": round(ms, 2), "steps_per_sec": round(1000.0 / ms, 1),
+        "dtype": args.dtype, "batch": args.batch,
+    }), flush=True)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+    pc = sub.add_parser("conv")
+    pc.add_argument("--batch", type=int, default=16)
+    pc.add_argument("--channels", type=int, default=64)
+    pp = sub.add_parser("parts")
+    pp.add_argument("--batch", type=int, default=16)
+    pp.add_argument("--dtype", default="float32")
+    ps = sub.add_parser("step")
+    ps.add_argument("--batch", type=int, default=16)
+    ps.add_argument("--dtype", default="float32")
+    args = p.parse_args(argv)
+    {"conv": cmd_conv, "parts": cmd_parts, "step": cmd_step}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()
