@@ -131,6 +131,7 @@ def test_obj_roundtrip(tmp_path):
     np.testing.assert_array_equal(f2, faces)
 
 
+@pytest.mark.slow
 def test_banded_and_ell_modes_agree():
     """The permuted banded formulation and the natural-order ELL
     formulation produce identical results through the full inference

@@ -36,7 +36,9 @@ def _is_jit_call(call: ast.Call) -> bool:
 
 def test_no_jitted_lambda_closes_over_ctx():
     offenders = []
-    for path in sorted(PKG.rglob("*.py")):
+    root = PKG.parent
+    scan = list(PKG.rglob("*.py")) + list(root.glob("*.py"))
+    for path in sorted(scan):
         tree = ast.parse(path.read_text(), filename=str(path))
         for node in ast.walk(tree):
             if not (isinstance(node, ast.Call) and _is_jit_call(node)):

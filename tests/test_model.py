@@ -108,6 +108,7 @@ def test_param_counts_scale_with_config(ctx):
     assert n(p_big) > n(p_small)
 
 
+@pytest.mark.slow
 def test_condition_folding_is_exact(ctx):
     """Folded condition path == materialized concat path, same params."""
     for name, base in CONFIGS.items():

@@ -123,6 +123,7 @@ def test_convert_applies_vertex_perm_to_out_bias(ctx):
     )
 
 
+@pytest.mark.slow
 def test_converted_npz_drives_simple_demo_cli(ctx, tmp_path):
     """The reference's headline user journey (README.md:24-35): pretrained
     checkpoint -> demo. Fabricate a reference-named variable set for the

@@ -45,6 +45,7 @@ def tiny(small_mesh):
     return cfg, ctx, data
 
 
+@pytest.mark.slow
 def test_train_step_updates_params(tiny):
     cfg, ctx, data = tiny
     model = CAPE(cfg)
@@ -69,6 +70,7 @@ def test_train_step_updates_params(tiny):
         ), f"{group} params did not change"
 
 
+@pytest.mark.slow
 def test_optim_condnet_flag_freezes_condition_nets(tiny):
     cfg, ctx, data = tiny
     cfg = cfg.replace(optim_condnet=False)
@@ -87,6 +89,7 @@ def test_optim_condnet_flag_freezes_condition_nets(tiny):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_training_reduces_loss(tiny, tmp_path):
     cfg, ctx, data = tiny
     model = CAPE(cfg)
@@ -111,6 +114,7 @@ def test_resume_continues_step_counter(tiny, tmp_path):
     assert int(jax.device_get(state.step)) == total
 
 
+@pytest.mark.slow
 def test_dp_equivalence_1_vs_8(tiny):
     """Same batch, same rng: one device == eight virtual devices (SURVEY §4
     implication 5)."""
@@ -277,6 +281,7 @@ def test_eval_tail_padding_does_not_contaminate_metrics(small_mesh, tmp_path):
         np.testing.assert_allclose(got[k], oracle[k], rtol=1e-5, atol=1e-6, err_msg=k)
 
 
+@pytest.mark.slow
 def test_single_backward_matches_stitched_two_player_grads(tiny):
     """The combined stop_gradient-blocked loss must yield exactly the
     stitched gradients: jax.grad(loss_g) on G/cond subtrees and
