@@ -22,7 +22,7 @@ from os.path import exists, join
 
 import numpy as np
 
-from cape_tpu.data.dataset_configs import ALL_CLOTH_TYPES, dataset_config_dicts
+from cape_tpu.data.dataset_configs import dataset_config_dicts
 from cape_tpu.smpl.rodrigues import pose_to_rotmats
 
 

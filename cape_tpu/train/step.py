@@ -27,7 +27,12 @@ from cape_tpu.train.optim import TrainState
 
 
 def _forward_losses(model: CAPE, cfg: CAPEConfig, params, ctx: GraphContext, batch, rng):
-    """Shared forward pass producing every loss term."""
+    """Shared forward pass producing every loss term.
+
+    Not on the production step path (that's _gan_losses, the
+    stop_gradient-blocked single-backward form); kept as the plain
+    two-player reference implementation that the gradient-equivalence
+    test checks _gan_losses against (tests/test_train.py)."""
     y_g, y2_g = model.embed_conditions(params, batch["pose_g"], batch["clo_g"])
     y_d, y2_d = model.embed_conditions(params, batch["pose_d"], batch["clo_d"])
 
