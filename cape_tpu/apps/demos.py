@@ -150,6 +150,9 @@ class DemoSuite:
         """Fixed clothing type, vary pose, n_sample z draws per pose
         (reference demos.py:127-169)."""
         rot = self._demo_conditions()
+        V = len(self.minimal_shape)
+        if self.n_sample <= 0:
+            return np.zeros((len(rot), 0, V, 3), np.float32)
         clotype = (CLO_TYPES == "shortlong").astype(np.float32)
         clotype_rep = np.repeat(clotype[None], len(rot), axis=0)
         pose_emb, clotype_emb = self.engine.encode_only_condition(rot, clotype_rep)
@@ -176,6 +179,8 @@ class DemoSuite:
         """Fixed pose, 4 clothing types, n_sample z draws per type
         (reference demos.py:172-222)."""
         clotype = np.eye(4, dtype=np.float32)
+        if self.n_sample <= 0:
+            return np.zeros((len(clotype), 0, len(self.minimal_shape), 3), np.float32)
         rot = self._demo_conditions()[0:1]
         rot_rep = np.repeat(rot, len(clotype), axis=0)
         pose_emb, clotype_emb = self.engine.encode_only_condition(rot_rep, clotype)
@@ -210,6 +215,8 @@ class DemoSuite:
                 f"pretrained GMM is {gmm.means.shape[1]}-dim but model nz={nz}"
             )
         n = n or self.n_sample
+        if n <= 0:
+            return np.zeros((0, len(self.minimal_shape), 3), np.float32)
         z = np.asarray(gmm.sample(jax.random.PRNGKey(int(self.rng.integers(1 << 30))), n))
 
         rot = self._demo_conditions()[0:1]
@@ -241,6 +248,10 @@ class DemoSuite:
         n = n or self.n_sample
         conds = self._demo_conditions()
         clotypes = np.eye(4, dtype=np.float32)
+        if n <= 0:
+            return np.zeros(
+                (len(conds), len(clotypes), 0, len(self.minimal_shape), 3), np.float32
+            )
         obj_dir = join(self.results_dir, "sample_gmm_sweep")
 
         outputs = []

@@ -51,6 +51,10 @@ class InferenceEngine:
 
     # ------------------------------------------------------------------
     def _batched(self, fn, n: int, *arrays):
+        if n <= 0:
+            raise ValueError(
+                "empty batch: callers must guard n == 0 (nothing to infer)"
+            )
         outs = None
         bs = self.batch_size
         for begin in range(0, n, bs):

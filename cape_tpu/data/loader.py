@@ -136,6 +136,13 @@ class BatchStream:
         idx, self._queue = self._queue[: self.batch_size], self._queue[self.batch_size:]
         return np.asarray(idx)
 
+    def skip(self, n_batches: int) -> None:
+        """Fast-forward past n_batches (checkpoint resume: replays the
+        stream to where the interrupted run left off, so resumed training
+        sees exactly the batches a never-interrupted run would)."""
+        for _ in range(n_batches):
+            self.next_indices()
+
 
 def make_gan_batch(data: BodyData, stream_g: BatchStream, stream_d: BatchStream) -> dict:
     """One training batch with independent G and D sample streams."""

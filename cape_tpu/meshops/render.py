@@ -97,6 +97,8 @@ def contact_sheet(
         return path
     meshes = np.asarray(meshes)
     n = len(meshes)
+    if n == 0:
+        return path
     cols = cols if cols > 0 else min(n, 5)
     rows = (n + cols - 1) // cols
     sheet = Image.new("RGB", (cols * size, rows * size), (255, 255, 255))

@@ -39,6 +39,30 @@ def _timed(fn, args, iters=32, group=8, warmup=3):
     return 1000.0 * times[len(times) // 2]
 
 
+def _timed_chained(step, x0, extra, inner=16, reps=8, warmup=2):
+    """Per-iteration ms of x <- step(x, *extra), chained `inner` times
+    inside ONE jitted fori_loop — removes the per-dispatch relay overhead
+    (~4 ms/call) that floors small-op timings. The data dependence through
+    x prevents XLA from eliding iterations."""
+    import jax
+
+    @jax.jit
+    def run(x, *extra):
+        return jax.lax.fori_loop(0, inner, lambda i, x: step(x, *extra), x)
+
+    for _ in range(warmup):
+        out = run(x0, *extra)
+    jax.device_get(out.ravel()[0])
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = run(x0, *extra)
+        jax.device_get(out.ravel()[0])
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return 1000.0 * times[len(times) // 2] / inner
+
+
 def _flagship_ctx(dtype):
     import numpy as np
 
@@ -73,25 +97,33 @@ def cmd_conv(args):
         x = jnp.asarray(rng.standard_normal((B, V, C)), dt)
         w = jnp.asarray(rng.standard_normal((2, C, F)) * 0.1, dt)
 
-        xla_fwd = jax.jit(lambda x, lap, w: cheb_conv(x, lap, w))
-        pal_fwd = jax.jit(lambda x, lap, w: cheb2_banded_pallas_v2(x, lap, w))
-
         def loss_xla(x, lap, w):
             return jnp.sum(cheb_conv(x, lap, w) ** 2)
 
         def loss_pal(x, lap, w):
             return jnp.sum(cheb2_banded_pallas_v2(x, lap, w) ** 2)
 
-        xla_fb = jax.jit(jax.grad(loss_xla, argnums=(0, 2)))
-        pal_fb = jax.jit(jax.grad(loss_pal, argnums=(0, 2)))
-
+        g_xla = jax.grad(loss_xla)
+        g_pal = jax.grad(loss_pal)
+        # chained inner iterations (C == F so output feeds input); the
+        # fwd+bwd chain is a tiny gradient-descent loop on x
         r = {
-            "xla_fwd_ms": _timed(xla_fwd, (x, lap, w)),
-            "pallas_fwd_ms": _timed(pal_fwd, (x, lap, w)),
-            "xla_fwdbwd_ms": _timed(xla_fb, (x, lap, w)),
-            "pallas_fwdbwd_ms": _timed(pal_fb, (x, lap, w)),
+            "xla_fwd_ms": _timed_chained(
+                lambda x, lap, w: cheb_conv(x, lap, w), x, (lap, w)
+            ),
+            "pallas_fwd_ms": _timed_chained(
+                lambda x, lap, w: cheb2_banded_pallas_v2(x, lap, w), x, (lap, w)
+            ),
+            "xla_fwdbwd_ms": _timed_chained(
+                lambda x, lap, w: x - 1e-6 * g_xla(x, lap, w), x, (lap, w)
+            ),
+            "pallas_fwdbwd_ms": _timed_chained(
+                lambda x, lap, w: x - 1e-6 * g_pal(x, lap, w), x, (lap, w)
+            ),
         }
         # numeric agreement
+        xla_fwd = jax.jit(lambda x, lap, w: cheb_conv(x, lap, w))
+        pal_fwd = jax.jit(lambda x, lap, w: cheb2_banded_pallas_v2(x, lap, w))
         ref = np.asarray(jax.device_get(xla_fwd(x, lap, w)), np.float32)
         got = np.asarray(jax.device_get(pal_fwd(x, lap, w)), np.float32)
         r["max_rel_err"] = float(
@@ -128,17 +160,29 @@ def cmd_parts(args):
         rng.standard_normal((B, cfg.nz + cfg.nz_cond + cfg.nz_cond2)), jnp.float32
     )
 
+    # per-part losses as functions of a chained carrier u: the carrier
+    # perturbs the data input so every inner iteration must recompute
     parts = {
-        "enc": (lambda p, c: jnp.sum(model.encode(p, c, x, y, y2)[0] ** 2)),
-        "dec": (lambda p, c: jnp.sum(model.decode(p, c, zt, y, y2) ** 2)),
-        "disc": (lambda p, c: jnp.sum(model.discriminate(p, c, x, y, y2) ** 2)),
+        "enc": lambda u, p, c: jnp.sum(
+            model.encode(p, c, x + u, y, y2)[0] ** 2
+        ),
+        "dec": lambda u, p, c: jnp.sum(
+            model.decode(p, c, zt + jnp.sum(u) * 1e-9, y, y2) ** 2
+        ),
+        "disc": lambda u, p, c: jnp.sum(
+            model.discriminate(p, c, x + u, y, y2) ** 2
+        ),
     }
+    u0 = jnp.zeros_like(x)
     out = {}
     for name, loss in parts.items():
-        fwd = jax.jit(loss)
-        fb = jax.jit(jax.grad(loss))
-        f = _timed(fwd, (params, ctx))
-        b = _timed(fb, (params, ctx))
+        g = jax.grad(loss)
+        f = _timed_chained(
+            lambda u, p, c, loss=loss: u + 1e-9 * loss(u, p, c), u0, (params, ctx)
+        )
+        b = _timed_chained(
+            lambda u, p, c, g=g: u - 1e-6 * g(u, p, c), u0, (params, ctx)
+        )
         out[name] = {"fwd_ms": round(f, 3), "fwdbwd_ms": round(b, 3),
                      "ratio": round(b / f, 2)}
         print(json.dumps({"part": name, "dtype": args.dtype, **out[name]}), flush=True)

@@ -101,6 +101,11 @@ class Trainer:
         logger = MetricsLogger(self.run_dir)
         stream_g = BatchStream(len(self.data.disp_train), cfg.batch_size, seed)
         stream_d = BatchStream(len(self.data.disp_train), cfg.batch_size, seed + 1)
+        # resume determinism: replay the index streams to the checkpointed
+        # step, so interrupted-and-resumed training consumes exactly the
+        # batch sequence an uninterrupted run would
+        stream_g.skip(start_step)
+        stream_d.skip(start_step)
 
         val_losses = []
         t_start = time.time()
