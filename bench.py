@@ -6,10 +6,12 @@ feed_dict sess.run calls, lib/models.py:905-906) on the flagship
 CAPE-affineconv_nz64_pose32_clotype32 config, batch 16, real SMPL pyramid,
 synthetic data with the real shapes.
 
-Measurement protocol: steps are chained in groups of QUEUE_DEPTH and every
-group ends with a host fetch of a step metric — on remote-attached
-accelerators `block_until_ready` does not reliably block, so only
-device_get round-trips give honest wall-clock numbers.
+Measurement protocol: STEPS_PER_DISPATCH steps are scanned on-device per
+dispatch (train.step.build_multi_train_step — the production Trainer path)
+and every dispatch ends with a host fetch of its step metrics — on
+remote-attached accelerators `block_until_ready` does not reliably block,
+so only device_get round-trips give honest wall-clock numbers. The fetch
+covers all scanned steps: nothing is timed that has not executed.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
@@ -29,10 +31,10 @@ import time
 import numpy as np
 
 REFERENCE_STEPS_PER_SEC = 5.0  # documented estimate; see module docstring
-QUEUE_DEPTH = 8
+STEPS_PER_DISPATCH = 32
 
 
-def main(num_steps: int = 64, warmup: int = 8) -> dict:
+def main(num_steps: int = 192, warmup: int = STEPS_PER_DISPATCH) -> dict:
     import os
 
     import jax
@@ -44,11 +46,11 @@ def main(num_steps: int = 64, warmup: int = 8) -> dict:
     except Exception:
         pass
 
-    from cape_tpu.data.loader import BatchStream, make_gan_batch
+    from cape_tpu.data.loader import BatchStream
     from cape_tpu.data.synthetic import synthetic_bodydata
     from cape_tpu.parallel.mesh import DataParallel
     from cape_tpu.train.optim import build_optimizer, create_train_state
-    from cape_tpu.train.step import build_train_step
+    from cape_tpu.train.step import build_multi_train_step
     from __graft_entry__ import _flagship_setup
 
     t_setup = time.perf_counter()
@@ -61,41 +63,45 @@ def main(num_steps: int = 64, warmup: int = 8) -> dict:
 
     dp = DataParallel()
     n_chips = dp.num_devices
-    step_fn = dp.compile_train_step(build_train_step(model, cfg, tx))
+    multi_fn = dp.compile_multi_train_step(build_multi_train_step(model, cfg, tx))
 
+    # device-resident dataset, as in training: per-dispatch host traffic is
+    # two [K, batch] int32 index arrays
     data = synthetic_bodydata(
         n_train=max(256, cfg.batch_size * 4), n_test=8, num_verts=6890, seed=0
     )
+    perm = ctx.vertex_perm
+    disp = data.disp_train if perm is None else np.ascontiguousarray(data.disp_train[:, perm])
+    data_dev = dp.replicate(
+        {"disp": disp, "pose": data.pose_train, "clo": data.clo_train}
+    )
     sg = BatchStream(len(data.disp_train), cfg.batch_size, 0)
     sd = BatchStream(len(data.disp_train), cfg.batch_size, 1)
-    batches = [dp.shard_batch(make_gan_batch(data, sg, sd)) for _ in range(8)]
+
+    def idx_chunk(k: int):
+        ig = np.stack([sg.next_indices() for _ in range(k)]).astype(np.int32)
+        idd = np.stack([sd.next_indices() for _ in range(k)]).astype(np.int32)
+        return ig, idd
 
     state = dp.replicate(create_train_state(params, tx))
     ctx_dev = dp.replicate(ctx)
     rng = jax.random.PRNGKey(0)
 
-    for i in range(warmup):
-        state, metrics = step_fn(
-            state, ctx_dev, batches[i % len(batches)], jax.random.fold_in(rng, i)
-        )
+    ig, idd = idx_chunk(warmup)
+    state, metrics = multi_fn(state, ctx_dev, data_dev, ig, idd, rng)
     jax.device_get(metrics["loss_g"])  # hard sync
     print(f"# setup+compile+warmup {time.perf_counter()-t_setup:.0f}s", flush=True)
 
     t0 = time.perf_counter()
     done = 0
     while done < num_steps:
-        for j in range(QUEUE_DEPTH):
-            state, metrics = step_fn(
-                state,
-                ctx_dev,
-                batches[(done + j) % len(batches)],
-                jax.random.fold_in(rng, 100 + done + j),
-            )
-        jax.device_get(metrics["loss_g"])  # hard sync per group
-        done += QUEUE_DEPTH
+        ig, idd = idx_chunk(STEPS_PER_DISPATCH)
+        state, metrics = multi_fn(state, ctx_dev, data_dev, ig, idd, rng)
+        jax.device_get(metrics["loss_g"])  # hard sync per dispatch
+        done += STEPS_PER_DISPATCH
     dt = time.perf_counter() - t0
 
-    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+    m = {k: float(v[-1]) for k, v in jax.device_get(metrics).items()}
     assert all(np.isfinite(v) for v in m.values()), f"non-finite metrics: {m}"
 
     steps_per_sec = done / dt

@@ -79,6 +79,7 @@ class CAPEConfig:
     remat: bool = False                    # jax.checkpoint each block (large batches)
     fold_conditions: bool = True           # algebraic condition folding (exact)
     data_parallel: int = 0                 # 0 = use all local devices
+    steps_per_dispatch: int = 8            # train steps scanned per device dispatch
     log_every_steps: int = 0               # 0 = per-epoch only
     profile_steps: int = 0                 # capture a jax.profiler trace of N steps
     checkpoint_keep: int = 5

@@ -92,6 +92,24 @@ class DataParallel:
             donate_argnums=(0,),
         )
 
+    def compile_multi_train_step(self, multi_fn):
+        """Scanned K-steps-per-dispatch variant of the resident step:
+        index arrays are [K, B] with the batch axis (axis 1) sharded."""
+        idx_sharding = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        return jax.jit(
+            multi_fn,
+            in_shardings=(
+                self.replicated,            # state
+                self.replicated,            # graph context
+                self.replicated,            # resident dataset
+                idx_sharding,               # idx_g [K, B]
+                idx_sharding,               # idx_d [K, B]
+                self.replicated,            # rng
+            ),
+            out_shardings=(self.replicated, self.replicated),
+            donate_argnums=(0,),
+        )
+
     def compile_eval_step(self, eval_fn):
         # both outputs carry the batch axis (pred [B,V,3], per-sample
         # metric vectors [B]) and stay sharded over it

@@ -39,11 +39,13 @@ def _timed(fn, args, iters=32, group=8, warmup=3):
     return 1000.0 * times[len(times) // 2]
 
 
-def _timed_chained(step, x0, extra, inner=16, reps=8, warmup=2):
+def _timed_chained(step, x0, extra, inner=128, reps=8, warmup=2):
     """Per-iteration ms of x <- step(x, *extra), chained `inner` times
     inside ONE jitted fori_loop — removes the per-dispatch relay overhead
-    (~4 ms/call) that floors small-op timings. The data dependence through
-    x prevents XLA from eliding iterations."""
+    that floors small-op timings. The relay's sync round-trip is ~29 ms,
+    so resolving sub-ms ops needs inner >> 29ms/op_ms (default 128 gives a
+    ~0.23 ms floor). The data dependence through x prevents XLA from
+    eliding iterations."""
     import jax
 
     @jax.jit
@@ -132,6 +134,113 @@ def cmd_conv(args):
         results[dtype_name] = {k: round(v, 4) for k, v in r.items()}
         print(json.dumps({"conv": dtype_name, "B": B, "C": C, **results[dtype_name]}), flush=True)
     return results
+
+
+def cmd_layout(args):
+    """A/B the activation layout for one K=2 conv at flagship level-0:
+    batch-major [B, V, C] (current) vs vertex-major [V, B*C] (band einsum
+    becomes T fat [128,128]@[128,B*C] matmuls, projection one [V*B,C]@[C,F]
+    matmul), each fwd and fwd+bwd, plus the transpose-free Pallas v2 path.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cape_tpu.ops.cheb import cheb_conv
+    from cape_tpu.ops.pallas.cheb_kernel import _pallas_band_apply_v2
+
+    B, C, F = args.batch, args.channels, args.channels
+    for dtype_name in ("float32", "bfloat16"):
+        dt = jnp.dtype(dtype_name)
+        ctx = _flagship_ctx(dtype_name)
+        lap = ctx.lap[0]
+        V = lap.n_rows
+        S, T, rb, cb = lap.blocks.shape
+        pl_, pr_ = lap.pad_left, lap.pad_right
+        rng = np.random.default_rng(0)
+        xb = jnp.asarray(rng.standard_normal((B, V, C)), dt)       # batch-major
+        xv = jnp.asarray(rng.standard_normal((V, B * C)), dt)      # vertex-major
+        w = jnp.asarray(rng.standard_normal((2, C, F)) * 0.1, dt)
+
+        def conv_vm(xv, blocks, w):
+            """K=2 cheb conv, vertex-major merged columns, pure XLA."""
+            xp = jnp.pad(xv, ((pl_, pr_), (0, 0)))
+            xt = xp.reshape(T + S - 1, cb, -1)
+            lx = None
+            for k in range(S):
+                term = jnp.einsum(
+                    "tij,tjm->tim", blocks[k].astype(xv.dtype), xt[k : k + T],
+                    preferred_element_type=xv.dtype,
+                )
+                lx = term if lx is None else lx + term
+            lx = lx.reshape(T * rb, -1)[:V]
+            x3 = xv.reshape(V, B, C)
+            l3 = lx.reshape(V, B, C)
+            y = jnp.einsum("vbc,cf->vbf", x3, w[0]) + jnp.einsum(
+                "vbc,cf->vbf", l3, w[1]
+            )
+            return y.reshape(V, B * F)
+
+        @jax.custom_vjp
+        def band_vm(xv, blocks):
+            xp = jnp.pad(xv, ((pl_, pr_), (0, 0)))
+            return _pallas_band_apply_v2(xp, blocks)[:V]
+
+        def _band_vm_fwd(xv, blocks):
+            return band_vm(xv, blocks), blocks
+
+        def _band_vm_bwd(blocks, g):
+            # rescaled Laplacian is symmetric: transpose apply reuses blocks
+            return band_vm(g, blocks), jnp.zeros_like(blocks)
+
+        band_vm.defvjp(_band_vm_fwd, _band_vm_bwd)
+
+        def conv_vm_pallas(xv, blocks, w):
+            lx = band_vm(xv, blocks.astype(xv.dtype))
+            x3 = xv.reshape(V, B, C)
+            l3 = lx.reshape(V, B, C)
+            y = jnp.einsum("vbc,cf->vbf", x3, w[0]) + jnp.einsum(
+                "vbc,cf->vbf", l3, w[1]
+            )
+            return y.reshape(V, B * F)
+
+        g_bm = jax.grad(lambda x, lap, w: jnp.sum(cheb_conv(x, lap, w) ** 2))
+        g_vm = jax.grad(lambda x, b, w: jnp.sum(conv_vm(x, b, w) ** 2))
+        g_vp = jax.grad(lambda x, b, w: jnp.sum(conv_vm_pallas(x, b, w) ** 2))
+        r = {
+            "bm_fwd_ms": _timed_chained(
+                lambda x, lap, w: cheb_conv(x, lap, w), xb, (lap, w)
+            ),
+            "vm_fwd_ms": _timed_chained(
+                lambda x, b, w: conv_vm(x, b, w), xv, (lap.blocks, w)
+            ),
+            "vm_pallas_fwd_ms": _timed_chained(
+                lambda x, b, w: conv_vm_pallas(x, b, w), xv, (lap.blocks, w)
+            ),
+            "bm_fwdbwd_ms": _timed_chained(
+                lambda x, lap, w: x - 1e-6 * g_bm(x, lap, w), xb, (lap, w)
+            ),
+            "vm_fwdbwd_ms": _timed_chained(
+                lambda x, b, w: x - 1e-6 * g_vm(x, b, w), xv, (lap.blocks, w)
+            ),
+            "vm_pallas_fwdbwd_ms": _timed_chained(
+                lambda x, b, w: x - 1e-6 * g_vp(x, b, w), xv, (lap.blocks, w)
+            ),
+        }
+        # correctness: vertex-major must match batch-major
+        ref = jax.device_get(jax.jit(cheb_conv)(xb, lap, w)).astype(np.float32)
+        xv_same = jnp.asarray(
+            np.asarray(jax.device_get(xb)).transpose(1, 0, 2).reshape(V, B * C), dt
+        )
+        got = (
+            np.asarray(jax.device_get(jax.jit(conv_vm)(xv_same, lap.blocks, w)))
+            .reshape(V, B, F).transpose(1, 0, 2).astype(np.float32)
+        )
+        r["max_rel_err"] = float(
+            np.max(np.abs(ref - got)) / max(np.max(np.abs(ref)), 1e-9)
+        )
+        print(json.dumps({"layout": dtype_name, "B": B, "C": C,
+                          **{k: round(v, 4) for k, v in r.items()}}), flush=True)
 
 
 def cmd_parts(args):
@@ -248,6 +357,9 @@ def main(argv=None):
     pc = sub.add_parser("conv")
     pc.add_argument("--batch", type=int, default=16)
     pc.add_argument("--channels", type=int, default=64)
+    pl = sub.add_parser("layout")
+    pl.add_argument("--batch", type=int, default=16)
+    pl.add_argument("--channels", type=int, default=64)
     pp = sub.add_parser("parts")
     pp.add_argument("--batch", type=int, default=16)
     pp.add_argument("--dtype", default="float32")
@@ -255,7 +367,8 @@ def main(argv=None):
     ps.add_argument("--batch", type=int, default=16)
     ps.add_argument("--dtype", default="float32")
     args = p.parse_args(argv)
-    {"conv": cmd_conv, "parts": cmd_parts, "step": cmd_step}[args.cmd](args)
+    {"conv": cmd_conv, "layout": cmd_layout, "parts": cmd_parts,
+     "step": cmd_step}[args.cmd](args)
 
 
 if __name__ == "__main__":

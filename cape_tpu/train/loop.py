@@ -25,7 +25,7 @@ from cape_tpu.parallel.mesh import DataParallel
 from cape_tpu.train import checkpoint as ckpt
 from cape_tpu.train.metrics import MetricsLogger
 from cape_tpu.train.optim import build_optimizer, create_train_state
-from cape_tpu.train.step import build_eval_step, build_resident_train_step
+from cape_tpu.train.step import build_eval_step, build_multi_train_step
 
 
 class Trainer:
@@ -55,8 +55,12 @@ class Trainer:
         self.num_steps = cfg.num_epochs * self.steps_per_epoch
 
         self.tx, self.sched_g, self.sched_d = build_optimizer(cfg, self.steps_per_epoch)
-        self.step_jit = self.dp.compile_resident_train_step(
-            build_resident_train_step(model, cfg, self.tx)
+        # K steps scanned per dispatch: each device dispatch + sync fetch
+        # covers cfg.steps_per_dispatch full GAN steps (see
+        # train.step.build_multi_train_step; ~1.45x wall-clock on the
+        # remote-attached chip, docs/PERF.md)
+        self.multi_jit = self.dp.compile_multi_train_step(
+            build_multi_train_step(model, cfg, self.tx)
         )
         self.eval_jit = self.dp.compile_eval_step(build_eval_step(model, cfg))
         self.ctx = self.dp.replicate(ctx)
@@ -111,44 +115,62 @@ class Trainer:
         t_start = time.time()
         t_in_steps = 0.0
         steps_done = 0
-        # periodic hard sync: unbounded async dispatch queues degrade
-        # badly on remote-attached backends (see docs/PERF.md); a fetch
-        # every few steps keeps the pipeline shallow at negligible cost
-        sync_every = 8
         profiling = False
-        for step in range(start_step, start_step + self.num_steps):
-            # optional trace capture of a step window (SURVEY §5: the
-            # profiling story replacing the reference's TensorBoard-only
-            # observability); viewable with tensorboard/xprof
-            if cfg.profile_steps and step - start_step == 2:
+        profiled_steps = 0
+        # dispatch in chunks of K scanned steps; each chunk ends with one
+        # metric fetch, which both syncs the shallow pipeline (unbounded
+        # async queues degrade on remote-attached backends, docs/PERF.md)
+        # and amortizes the sync round-trip over the whole chunk
+        K = max(1, cfg.steps_per_dispatch)
+        end_step = start_step + self.num_steps
+        step = start_step
+        while step < end_step:
+            done_in_run = step - start_step
+            to_epoch_end = self.steps_per_epoch - done_in_run % self.steps_per_epoch
+            k = min(K, end_step - step, to_epoch_end)
+
+            # optional trace capture over dispatch chunks, starting after
+            # the first (warm) chunk, until >= cfg.profile_steps steps are
+            # covered (SURVEY §5: the profiling story replacing the
+            # reference's TensorBoard-only observability); xprof-viewable
+            if cfg.profile_steps and not profiling and 0 < done_in_run and profiled_steps < cfg.profile_steps:
                 try:
                     jax.profiler.start_trace(os.path.join(self.run_dir, "profile"))
                     profiling = True
                 except Exception as e:  # backend may not support tracing
                     print(f"profiler unavailable: {e}", flush=True)
-            if profiling and step - start_step == 2 + cfg.profile_steps:
-                jax.profiler.stop_trace()
-                profiling = False
+                    profiled_steps = cfg.profile_steps
+
             t0 = time.perf_counter()
-            idx_g = self.dp.shard_batch(stream_g.next_indices().astype(np.int32))
-            idx_d = self.dp.shard_batch(stream_d.next_indices().astype(np.int32))
-            step_rng = jax.random.fold_in(rng, step)
-            state, metrics = self.step_jit(
-                state, self.ctx, self.train_data_dev, idx_g, idx_d, step_rng
+            idx_g = np.stack([stream_g.next_indices() for _ in range(k)]).astype(np.int32)
+            idx_d = np.stack([stream_d.next_indices() for _ in range(k)]).astype(np.int32)
+            # per-step RNG is derived from state.step inside the scan body,
+            # so chunking does not change the random stream (resume safety)
+            state, metrics = self.multi_jit(
+                state, self.ctx, self.train_data_dev, idx_g, idx_d, rng
             )
-            if (step + 1) % sync_every == 0:
-                jax.device_get(metrics["loss_g"])
+            jax.device_get(metrics["loss_g"])  # chunk sync
             t_in_steps += time.perf_counter() - t0
-            steps_done += 1
+            steps_done += k
 
-            if cfg.log_every_steps and step % cfg.log_every_steps == 0:
-                m = jax.device_get(metrics)
-                logger.log(step, {k: float(v) for k, v in m.items()})
+            if profiling:
+                profiled_steps += k
+                if profiled_steps >= cfg.profile_steps:
+                    jax.profiler.stop_trace()
+                    profiling = False
 
-            is_epoch_end = (step + 1 - start_step) % self.steps_per_epoch == 0
-            if is_epoch_end or step + 1 == start_step + self.num_steps:
-                epoch = (step + 1 - start_step) // self.steps_per_epoch
-                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            if cfg.log_every_steps:
+                rows = [i for i in range(k) if (step + i) % cfg.log_every_steps == 0]
+                if rows:
+                    m_all = jax.device_get(metrics)
+                    for i in rows:
+                        logger.log(step + i, {kk: float(v[i]) for kk, v in m_all.items()})
+
+            step += k
+            is_epoch_end = (step - start_step) % self.steps_per_epoch == 0
+            if is_epoch_end or step == end_step:
+                epoch = (step - start_step) // self.steps_per_epoch
+                m = {kk: float(v[-1]) for kk, v in jax.device_get(metrics).items()}
                 m["loss_g_ema"] = logger.ema_g.update(m["loss_g"])
                 m["loss_d_ema"] = logger.ema_d.update(m["loss_d"])
                 val = self.evaluate(
@@ -157,14 +179,14 @@ class Trainer:
                 val_losses.append(val["recon"])
                 m.update({f"val_{k}": v for k, v in val.items()})
                 m["epoch"] = epoch
-                m["lr_g"] = float(self.sched_g(step))
-                m["sec_per_step"] = (time.time() - t_start) / max(step + 1 - start_step, 1)
+                m["lr_g"] = float(self.sched_g(step - 1))
+                m["sec_per_step"] = (time.time() - t_start) / max(step - start_step, 1)
                 # pure train-step time, excluding compile/eval/checkpointing
                 m["step_ms"] = 1000.0 * t_in_steps / max(steps_done, 1)
                 t_in_steps, steps_done = 0.0, 0
-                logger.log(step, m, echo=True)
+                logger.log(step - 1, m, echo=True)
                 ckpt.save_checkpoint(
-                    self.ckpt_dir, jax.device_get(state), step + 1, keep=cfg.checkpoint_keep
+                    self.ckpt_dir, jax.device_get(state), step, keep=cfg.checkpoint_keep
                 )
 
         if profiling:

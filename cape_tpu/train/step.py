@@ -182,6 +182,37 @@ def build_resident_train_step(model: CAPE, cfg: CAPEConfig, tx):
     return step_fn
 
 
+def build_multi_train_step(model: CAPE, cfg: CAPEConfig, tx):
+    """K train steps per dispatch, scanned on device.
+
+    One host dispatch + one sync round-trip then covers K full GAN steps:
+    on the remote-attached link each step otherwise pays ~4 ms dispatch
+    and a share of the ~29 ms sync fetch on top of ~12 ms device time
+    (profiled; docs/PERF.md). `lax.scan` chains the steps on device —
+    the same fused step program runs back-to-back with zero host
+    involvement. Harmless on locally attached hardware, where it merely
+    shrinks the Python-dispatch share.
+
+    Per-step RNG is folded from `state.step` inside the scan body, so a
+    run chunked as [8, 8] consumes bit-identical randomness to 16
+    single-step dispatches (resume determinism; tested).
+
+    Returns multi_fn(state, ctx, data, idx_g [K,B], idx_d [K,B], rng)
+    -> (state, metrics stacked [K]).
+    """
+    base_step = build_resident_train_step(model, cfg, tx)
+
+    def multi_fn(state, ctx, data, idx_g, idx_d, rng):
+        def body(state, idx):
+            ig, idd = idx
+            step_rng = jax.random.fold_in(rng, state.step)
+            return base_step(state, ctx, data, ig, idd, step_rng)
+
+        return jax.lax.scan(body, state, (idx_g, idx_d))
+
+    return multi_fn
+
+
 def build_eval_step(model: CAPE, cfg: CAPEConfig):
     """Returns eval_fn(params, ctx, batch, rng) -> (pred, per_sample_metrics).
 

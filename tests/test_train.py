@@ -148,6 +148,65 @@ def test_dp_equivalence_1_vs_8(tiny):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+def test_multi_step_chunking_matches_single_steps(tiny):
+    """The scanned K-steps-per-dispatch path must consume the same batch
+    and RNG streams as single-step dispatches: 6 steps run as chunks of
+    [4, 2] produce the same params as 6 single steps."""
+    from cape_tpu.train.step import build_multi_train_step, build_resident_train_step
+
+    cfg, ctx, data = tiny
+    model = CAPE(cfg)
+    params_host = jax.device_get(model.init_params(jax.random.PRNGKey(0), ctx))
+    tx, _, _ = build_optimizer(cfg, steps_per_epoch=10)
+    rng = jax.random.PRNGKey(11)
+    dev_data = {
+        "disp": jnp.asarray(data.disp_train),
+        "pose": jnp.asarray(data.pose_train),
+        "clo": jnp.asarray(data.clo_train),
+    }
+
+    def fresh_streams():
+        return (
+            BatchStream(len(data.disp_train), cfg.batch_size, 0),
+            BatchStream(len(data.disp_train), cfg.batch_size, 1),
+        )
+
+    # reference: 6 single-step dispatches, rng folded by global step
+    single = jax.jit(build_resident_train_step(model, cfg, tx))
+    params = jax.tree_util.tree_map(np.array, params_host)
+    state = create_train_state(params, tx)
+    sg, sd = fresh_streams()
+    for step in range(6):
+        ig = jnp.asarray(sg.next_indices().astype(np.int32))
+        idd = jnp.asarray(sd.next_indices().astype(np.int32))
+        state, _ = single(state, ctx, dev_data, ig, idd, jax.random.fold_in(rng, step))
+    ref_params = jax.device_get(state.params)
+
+    # chunked: the same 6 steps as scans of 4 then 2
+    multi = jax.jit(build_multi_train_step(model, cfg, tx))
+    params = jax.tree_util.tree_map(np.array, params_host)
+    state = create_train_state(params, tx)
+    sg, sd = fresh_streams()
+    metrics_rows = []
+    for k in (4, 2):
+        ig = jnp.asarray(np.stack([sg.next_indices() for _ in range(k)]).astype(np.int32))
+        idd = jnp.asarray(np.stack([sd.next_indices() for _ in range(k)]).astype(np.int32))
+        state, ms = multi(state, ctx, dev_data, ig, idd, rng)
+        metrics_rows.append(jax.device_get(ms))
+    assert int(jax.device_get(state.step)) == 6
+    assert all(np.asarray(m["loss_g"]).shape == (k,) for m, k in zip(metrics_rows, (4, 2)))
+    got_params = jax.device_get(state.params)
+
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(ref_params)[0],
+        jax.tree_util.tree_flatten_with_path(got_params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+
+
 def test_checkpoint_roundtrip(tiny, tmp_path):
     cfg, ctx, data = tiny
     model = CAPE(cfg)
