@@ -18,7 +18,15 @@ W_ref.reshape(Fin, K, Fout).transpose(1, 0, 2) — see tools/tf_ckpt_converter.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
+
+# Batch-major banded einsums re-read the band blocks once per sample;
+# past this many merged columns (batch * channels) the vertex-major
+# Pallas path wins (measured crossover between B*C=1024 and 4096 at
+# level-0 flagship shapes — 2x at B=64, C=64 bf16; docs/PERF.md).
+VM_MIN_COLS = int(os.environ.get("CAPE_TPU_VM_MIN_COLS", "2048"))
 
 
 def cheb_basis(x: jnp.ndarray, lap, K: int) -> list[jnp.ndarray]:
@@ -42,14 +50,18 @@ def cheb_conv(x: jnp.ndarray, lap, weight: jnp.ndarray) -> jnp.ndarray:
         from cape_tpu.ops import pallas as pallas_cfg
         from cape_tpu.ops.banded import BandedOp
 
-        if (
-            pallas_cfg.enabled()
-            and isinstance(lap, BandedOp)
-            and lap.pallas_eligible
-        ):
-            from cape_tpu.ops.pallas.cheb_kernel import cheb2_banded_pallas_v2
+        if isinstance(lap, BandedOp) and lap.pallas_eligible:
+            # large-batch auto path: always on (measured win past the
+            # column threshold); the CAPE_TPU_PALLAS gate covers only the
+            # experimental small-batch kernel
+            if x.shape[0] * x.shape[2] >= VM_MIN_COLS:
+                from cape_tpu.ops.pallas.cheb_kernel import cheb2_banded_pallas_v3
 
-            return cheb2_banded_pallas_v2(x, lap, weight)
+                return cheb2_banded_pallas_v3(x, lap, weight)
+            if pallas_cfg.enabled():
+                from cape_tpu.ops.pallas.cheb_kernel import cheb2_banded_pallas_v2
+
+                return cheb2_banded_pallas_v2(x, lap, weight)
     # per-order accumulation. The concat-then-matmul alternative (the
     # reference's formulation) measures 23-29% faster for the isolated
     # forward (fatter K*Fin contraction) but 19% slower for the full

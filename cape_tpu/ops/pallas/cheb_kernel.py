@@ -134,8 +134,8 @@ _pallas_cheb2.defvjp(_fwd, _bwd)
 
 
 def _kernel_v2(xw_ref, blk_ref, out_ref, lx_ref):
-    k = pl.program_id(1)
-    S = pl.num_programs(1)
+    k = pl.program_id(2)
+    S = pl.num_programs(2)
     contrib = jnp.dot(
         blk_ref[0, 0], xw_ref[...], preferred_element_type=jnp.float32
     )
@@ -153,20 +153,35 @@ def _kernel_v2(xw_ref, blk_ref, out_ref, lx_ref):
         out_ref[...] = lx_ref[...].astype(out_ref.dtype)
 
 
+def _col_tile(M: int, target: int = 4096) -> int:
+    """Largest 128-multiple divisor of M that is <= target (VMEM cap: the
+    per-step working set is a few [128, tile] buffers plus an f32 scratch;
+    an untiled M = B*C of 16384 at bf16 blows the 16 MB scoped VMEM)."""
+    for mt in range(min(M, target), 0, -128):
+        if M % mt == 0 and mt % 128 == 0:
+            return mt
+    return M
+
+
 def _pallas_band_apply_v2(x_padded_vm, blocks):
-    """Banded apply in vertex-major form: x_padded_vm [Vp, M] -> [T*rb, M]."""
+    """Banded apply in vertex-major form: x_padded_vm [Vp, M] -> [T*rb, M].
+
+    Grid (T, M/MT, S) with the shift index minor: the f32 scratch tile
+    accumulates the S band contributions for one (row-tile, col-tile) and
+    is flushed once, so each output tile is written exactly once."""
     S, T, rb, cb = blocks.shape
     M = x_padded_vm.shape[-1]
+    MT = _col_tile(M)
     return pl.pallas_call(
         _kernel_v2,
-        grid=(T, S),
+        grid=(T, M // MT, S),
         in_specs=[
-            pl.BlockSpec((cb, M), lambda t, k: (t + k, 0)),
-            pl.BlockSpec((1, 1, rb, cb), lambda t, k: (k, t, 0, 0)),
+            pl.BlockSpec((cb, MT), lambda t, j, k: (t + k, j)),
+            pl.BlockSpec((1, 1, rb, cb), lambda t, j, k: (k, t, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((rb, M), lambda t, k: (t, 0)),
+        out_specs=pl.BlockSpec((rb, MT), lambda t, j, k: (t, j)),
         out_shape=jax.ShapeDtypeStruct((T * rb, M), x_padded_vm.dtype),
-        scratch_shapes=[pltpu.VMEM((rb, M), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((rb, MT), jnp.float32)],
         interpret=jax.default_backend() != "tpu",
     )(x_padded_vm, blocks)
 
@@ -190,6 +205,73 @@ def _fwd_v2(meta, x, blocks, w0, w1):
 
 
 _pallas_cheb2_v2.defvjp(_fwd_v2, _bwd)
+
+
+# ---------------------------------------------------------------- kernel v3
+# Large-batch path: batch-major [B, V, C] at the boundary, vertex-major
+# merged columns inside, Pallas band applies in BOTH directions of a full
+# custom VJP. Motivation (measured, docs/PERF.md): the batch-major banded
+# einsum re-reads the band blocks once per sample, which turns superlinear
+# when the batch no longer amortizes block traffic — at B=64, C=64 the
+# per-conv fwd+bwd is 4.37 ms batch-major vs 2.21 ms on this path (bf16).
+# At B=16 batch-major wins; ops.cheb auto-selects by B*C.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pallas_cheb2_v3(meta, x, blocks, w0, w1):
+    y, _ = _v3_fwd_parts(meta, x, blocks, w0, w1)
+    return y
+
+
+def _v3_band_vm(xv, blocks, pad_left, pad_right, n_rows):
+    """Vertex-major banded apply: [V, M] -> [V, M] (square symmetric op)."""
+    xp = jnp.pad(xv, ((pad_left, pad_right), (0, 0)))
+    return _pallas_band_apply_v2(xp, blocks)[:n_rows]
+
+
+def _v3_fwd_parts(meta, x, blocks, w0, w1):
+    pad_left, pad_right, n_rows = meta
+    B, V, C = x.shape
+    xv = x.transpose(1, 0, 2).reshape(V, B * C)
+    lxv = _v3_band_vm(xv, blocks, pad_left, pad_right, n_rows)
+    x3 = xv.reshape(V, B, C)
+    l3 = lxv.reshape(V, B, C)
+    y = jnp.einsum(
+        "vbc,cf->vbf", x3, w0, preferred_element_type=x.dtype
+    ) + jnp.einsum("vbc,cf->vbf", l3, w1, preferred_element_type=x.dtype)
+    return y.transpose(1, 0, 2), (x3, l3)
+
+
+def _v3_fwd(meta, x, blocks, w0, w1):
+    y, (x3, l3) = _v3_fwd_parts(meta, x, blocks, w0, w1)
+    return y, (x3, l3, blocks, w0, w1)
+
+
+def _v3_bwd(meta, res, g):
+    # A~ is symmetric: the transpose apply reuses the forward blocks.
+    pad_left, pad_right, n_rows = meta
+    x3, l3, blocks, w0, w1 = res
+    V, B, C = x3.shape
+    gv = g.transpose(1, 0, 2)                                   # [V, B, F]
+    dw0 = jnp.einsum("vbc,vbf->cf", x3, gv)
+    dw1 = jnp.einsum("vbc,vbf->cf", l3, gv)
+    gw1 = jnp.einsum("vbf,cf->vbc", gv, w1).reshape(V, B * C)
+    dxv = jnp.einsum("vbf,cf->vbc", gv, w0).reshape(V, B * C) + _v3_band_vm(
+        gw1, blocks, pad_left, pad_right, n_rows
+    )
+    dx = dxv.reshape(V, B, C).transpose(1, 0, 2)
+    return dx, jnp.zeros_like(blocks), dw0, dw1
+
+
+_pallas_cheb2_v3.defvjp(_v3_fwd, _v3_bwd)
+
+
+def cheb2_banded_pallas_v3(x, band_op, weight):
+    """Large-batch fused K=2 Chebyshev conv: vertex-major Pallas band
+    applies (fwd and bwd) behind a batch-major [B, V, C] interface."""
+    meta = (band_op.pad_left, band_op.pad_right, band_op.n_rows)
+    w = weight.astype(x.dtype)
+    return _pallas_cheb2_v3(meta, x, band_op.blocks.astype(x.dtype), w[0], w[1])
 
 
 def cheb2_banded_pallas_v2(x, band_op, weight):

@@ -299,16 +299,20 @@ def cmd_parts(args):
 
 
 def cmd_step(args):
-    """Full GAN train step (the bench workload) at a given dtype/batch."""
+    """Full GAN train step (the bench workload) at a given dtype/batch,
+    through the production scanned-dispatch path (K steps per dispatch,
+    device-resident data, one sync fetch per dispatch — the old
+    step-by-step protocol built an 8-deep host queue that the relay
+    handles pathologically once steps exceed ~100 ms)."""
     import jax
     import numpy as np
 
     from cape_tpu.core.config import CAPEConfig
-    from cape_tpu.data.loader import BatchStream, make_gan_batch
+    from cape_tpu.data.loader import BatchStream
     from cape_tpu.data.synthetic import synthetic_bodydata
     from cape_tpu.models.cape import CAPE
     from cape_tpu.train.optim import build_optimizer, create_train_state
-    from cape_tpu.train.step import build_train_step
+    from cape_tpu.train.step import build_multi_train_step
 
     cfg = CAPEConfig(
         name="perflab_step", nz=64, nz_cond=32, nz_cond2=32, nf=64,
@@ -320,34 +324,46 @@ def cmd_step(args):
     model = CAPE(cfg)
     params = jax.jit(model.init_params)(jax.random.PRNGKey(0), ctx)
     tx, _, _ = build_optimizer(cfg, steps_per_epoch=1940)
-    step_fn = jax.jit(build_train_step(model, cfg, tx), donate_argnums=(0,))
+    multi_fn = jax.jit(build_multi_train_step(model, cfg, tx), donate_argnums=(0,))
 
-    data = synthetic_bodydata(n_train=256, n_test=8, num_verts=6890, seed=0)
-    sg = BatchStream(256 - 32, cfg.batch_size, 0)
-    sd = BatchStream(256 - 32, cfg.batch_size, 1)
-    batch = {k: jax.numpy.asarray(v) for k, v in make_gan_batch(data, sg, sd).items()}
+    n_train = max(256, 2 * args.batch)
+    data = synthetic_bodydata(n_train=n_train + 64, n_test=8, num_verts=6890, seed=0)
+    dev_data = {
+        "disp": jax.numpy.asarray(data.disp_train),
+        "pose": jax.numpy.asarray(data.pose_train),
+        "clo": jax.numpy.asarray(data.clo_train),
+    }
+    sg = BatchStream(len(data.disp_train), cfg.batch_size, 0)
+    sd = BatchStream(len(data.disp_train), cfg.batch_size, 1)
+    K = args.k
+
+    def chunk(k):
+        ig = np.stack([sg.next_indices() for _ in range(k)]).astype(np.int32)
+        idd = np.stack([sd.next_indices() for _ in range(k)]).astype(np.int32)
+        return jax.numpy.asarray(ig), jax.numpy.asarray(idd)
+
     state = create_train_state(params, tx)
     rng = jax.random.PRNGKey(0)
 
     import time as _t
 
-    for i in range(4):
-        state, metrics = step_fn(state, ctx, batch, jax.random.fold_in(rng, i))
+    ig, idd = chunk(K)
+    state, metrics = multi_fn(state, ctx, dev_data, ig, idd, rng)
     jax.device_get(metrics["loss_g"])
     times = []
     for g in range(6):
+        ig, idd = chunk(K)
         t0 = _t.perf_counter()
-        for j in range(8):
-            state, metrics = step_fn(state, ctx, batch, jax.random.fold_in(rng, 10 + g * 8 + j))
+        state, metrics = multi_fn(state, ctx, dev_data, ig, idd, rng)
         jax.device_get(metrics["loss_g"])
-        times.append((_t.perf_counter() - t0) / 8)
+        times.append((_t.perf_counter() - t0) / K)
     times.sort()
     ms = 1000.0 * times[len(times) // 2]
-    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+    m = {k: float(v[-1]) for k, v in jax.device_get(metrics).items()}
     assert all(np.isfinite(v) for v in m.values()), m
     print(json.dumps({
         "step_ms": round(ms, 2), "steps_per_sec": round(1000.0 / ms, 1),
-        "dtype": args.dtype, "batch": args.batch,
+        "dtype": args.dtype, "batch": args.batch, "steps_per_dispatch": K,
     }), flush=True)
 
 
@@ -366,6 +382,7 @@ def main(argv=None):
     ps = sub.add_parser("step")
     ps.add_argument("--batch", type=int, default=16)
     ps.add_argument("--dtype", default="float32")
+    ps.add_argument("--k", type=int, default=8, help="steps per dispatch")
     args = p.parse_args(argv)
     {"conv": cmd_conv, "layout": cmd_layout, "parts": cmd_parts,
      "step": cmd_step}[args.cmd](args)

@@ -249,6 +249,62 @@ def test_pallas_cheb_kernel_matches_xla(small_mesh):
     np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), rtol=1e-4, atol=1e-4)
 
 
+def test_pallas_cheb_v3_large_batch_matches_xla(small_mesh):
+    """The auto-selected large-batch vertex-major path (cheb.VM_MIN_COLS)
+    must match the batch-major XLA path, values and both gradients."""
+    import jax
+
+    from cape_tpu.meshops.laplacian import scaled_adjacency
+    from cape_tpu.meshops.topology import vert_connectivity
+    from cape_tpu.ops import cheb as cheb_mod
+    from cape_tpu.ops.banded import banded_from_scipy
+    from cape_tpu.ops.pallas.cheb_kernel import cheb2_banded_pallas_v3
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    verts, faces = small_mesh
+    A = vert_connectivity(faces, len(verts))
+    perm = np.asarray(reverse_cuthill_mckee(sp.csr_matrix(A), symmetric_mode=True))
+    Lt = sp.csr_matrix(scaled_adjacency(A))[perm][:, perm]
+    op = banded_from_scipy(Lt)
+    assert op.pallas_eligible
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((3, Lt.shape[0], 5)), jnp.float32)
+    W = jnp.asarray(rng.standard_normal((2, 5, 4)).astype(np.float32) * 0.1)
+
+    def loss_ref(x, W):
+        return jnp.sum(jnp.sin(cheb_conv(x, op, W)))
+
+    def loss_v3(x, W):
+        return jnp.sum(jnp.sin(cheb2_banded_pallas_v3(x, op, W)))
+
+    ref, (gx_ref, gw_ref) = loss_ref(x, W), jax.grad(loss_ref, argnums=(0, 1))(x, W)
+    out, (gx, gw) = loss_v3(x, W), jax.grad(loss_v3, argnums=(0, 1))(x, W)
+    np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), rtol=1e-4, atol=1e-4)
+
+    # the dispatcher routes to v3 exactly at the column threshold
+    calls = []
+    orig = cheb_mod.VM_MIN_COLS
+    try:
+        cheb_mod.VM_MIN_COLS = x.shape[0] * x.shape[2]
+        import cape_tpu.ops.pallas.cheb_kernel as ck
+
+        real_v3 = ck.cheb2_banded_pallas_v3
+        ck.cheb2_banded_pallas_v3 = lambda *a: (calls.append(1), real_v3(*a))[1]
+        cheb_conv(x, op, W)
+        assert calls, "v3 not selected at threshold"
+        ck.cheb2_banded_pallas_v3 = real_v3
+        cheb_mod.VM_MIN_COLS = x.shape[0] * x.shape[2] + 1
+        calls.clear()
+        cheb_conv(x, op, W)
+        assert not calls, "v3 selected below threshold"
+    finally:
+        cheb_mod.VM_MIN_COLS = orig
+        ck.cheb2_banded_pallas_v3 = real_v3
+
+
 def test_batch_norm_and_dispatcher():
     from cape_tpu.ops.norm import batch_norm, normalize
 
