@@ -22,11 +22,17 @@ import os
 
 import jax.numpy as jnp
 
-# Batch-major banded einsums re-read the band blocks once per sample;
-# past this many merged columns (batch * channels) the vertex-major
-# Pallas path wins (measured crossover between B*C=1024 and 4096 at
-# level-0 flagship shapes — 2x at B=64, C=64 bf16; docs/PERF.md).
+# Batch-major banded einsums re-read the band blocks once per sample:
+# per apply, batch-major traffic scales ~ B*S*V*(128 + C) vs vertex-major
+# ~ S*V*B*C, so the vertex-major Pallas path wins by up to (128+C)/C once
+# the batch amortizes its transposes and per-call overhead. Measured
+# (docs/PERF.md): 2x per conv at B=64/C=64 level 0, full-step 111->95.6 ms
+# at batch 64; a net LOSS at batch 16 (12.0->13.7 ms — per-call overhead
+# beats the saving at every eligible shape). Both thresholds must pass;
+# a channel cap was tried and measured worse at batch >= 32 (the wide
+# decoder levels benefit too: step 95.6 vs 101.9 ms at batch 64).
 VM_MIN_COLS = int(os.environ.get("CAPE_TPU_VM_MIN_COLS", "2048"))
+VM_MIN_BATCH = int(os.environ.get("CAPE_TPU_VM_MIN_BATCH", "32"))
 
 
 def cheb_basis(x: jnp.ndarray, lap, K: int) -> list[jnp.ndarray]:
@@ -52,9 +58,12 @@ def cheb_conv(x: jnp.ndarray, lap, weight: jnp.ndarray) -> jnp.ndarray:
 
         if isinstance(lap, BandedOp) and lap.pallas_eligible:
             # large-batch auto path: always on (measured win past the
-            # column threshold); the CAPE_TPU_PALLAS gate covers only the
+            # thresholds); the CAPE_TPU_PALLAS gate covers only the
             # experimental small-batch kernel
-            if x.shape[0] * x.shape[2] >= VM_MIN_COLS:
+            if (
+                x.shape[0] >= VM_MIN_BATCH
+                and x.shape[0] * x.shape[2] >= VM_MIN_COLS
+            ):
                 from cape_tpu.ops.pallas.cheb_kernel import cheb2_banded_pallas_v3
 
                 return cheb2_banded_pallas_v3(x, lap, weight)

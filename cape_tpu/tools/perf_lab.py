@@ -6,8 +6,10 @@ docs/PERF.md), so this is the only honest protocol. Calls are chained in
 groups to amortize the ~29 ms sync round-trip.
 
   python -m cape_tpu.tools.perf_lab conv     # per-conv: XLA banded vs pallas v2
+  python -m cape_tpu.tools.perf_lab layout   # batch-major vs vertex-major A/B
   python -m cape_tpu.tools.perf_lab parts    # enc/dec/disc fwd vs fwd+bwd
-  python -m cape_tpu.tools.perf_lab step     # full train step, f32 + bf16
+  python -m cape_tpu.tools.perf_lab step     # full train step at batch/dtype/K
+  python -m cape_tpu.tools.perf_lab trace    # device-time attribution by source
 """
 
 from __future__ import annotations
@@ -367,6 +369,111 @@ def cmd_step(args):
     }), flush=True)
 
 
+def cmd_trace(args):
+    """Capture a profiler trace of the full train step and print device-time
+    attribution: by HLO category and by framework source line. This is how
+    the 12 ms step was decomposed (docs/PERF.md 'Where a step goes')."""
+    import collections
+    import glob
+    import gzip
+    import re
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    from cape_tpu.core.config import CAPEConfig
+    from cape_tpu.data.loader import BatchStream
+    from cape_tpu.data.synthetic import synthetic_bodydata
+    from cape_tpu.models.cape import CAPE
+    from cape_tpu.train.optim import build_optimizer, create_train_state
+    from cape_tpu.train.step import build_resident_train_step
+
+    n_steps = 4
+    cfg = CAPEConfig(
+        name="perflab_trace", nz=64, nz_cond=32, nz_cond2=32, nf=64,
+        use_res_block=False, use_res_block_dec=True, affine=True,
+        reduce_dim=64, lambda_edge=1.0, batch_size=args.batch,
+        compute_dtype=args.dtype,
+    )
+    ctx = _flagship_ctx(args.dtype)
+    model = CAPE(cfg)
+    params = jax.jit(model.init_params)(jax.random.PRNGKey(0), ctx)
+    tx, _, _ = build_optimizer(cfg, steps_per_epoch=1940)
+    step_fn = jax.jit(build_resident_train_step(model, cfg, tx), donate_argnums=(0,))
+
+    data = synthetic_bodydata(
+        n_train=max(256, 2 * args.batch) + 64, n_test=8, num_verts=6890, seed=0
+    )
+    dev_data = {
+        "disp": jax.numpy.asarray(data.disp_train),
+        "pose": jax.numpy.asarray(data.pose_train),
+        "clo": jax.numpy.asarray(data.clo_train),
+    }
+    sg = BatchStream(len(data.disp_train), cfg.batch_size, 0)
+    sd = BatchStream(len(data.disp_train), cfg.batch_size, 1)
+
+    def idx():
+        return (
+            jax.numpy.asarray(sg.next_indices().astype(np.int32)),
+            jax.numpy.asarray(sd.next_indices().astype(np.int32)),
+        )
+
+    state = create_train_state(params, tx)
+    rng = jax.random.PRNGKey(0)
+    for i in range(3):
+        ig, idd = idx()
+        state, metrics = step_fn(state, ctx, dev_data, ig, idd, jax.random.fold_in(rng, i))
+    jax.device_get(metrics["loss_g"])
+
+    log_dir = args.out or tempfile.mkdtemp(prefix="cape_trace_")
+    with jax.profiler.trace(log_dir, create_perfetto_trace=True):
+        for i in range(n_steps):
+            ig, idd = idx()
+            state, metrics = step_fn(
+                state, ctx, dev_data, ig, idd, jax.random.fold_in(rng, 10 + i)
+            )
+        jax.device_get(metrics["loss_g"])
+
+    traces = sorted(glob.glob(f"{log_dir}/**/perfetto_trace.json.gz", recursive=True))
+    if not traces:
+        print(json.dumps({"error": "no trace produced (backend may not support tracing)"}))
+        return
+    with gzip.open(traces[-1]) as f:
+        payload = json.load(f)
+    events = payload if isinstance(payload, list) else payload.get("traceEvents", [])
+    thread_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e["name"] == "thread_name":
+            thread_names[(e["pid"], e["tid"])] = e["args"]["name"]
+    by_src: collections.Counter = collections.Counter()
+    by_cat: collections.Counter = collections.Counter()
+    n_src: collections.Counter = collections.Counter()
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        if thread_names.get((e.get("pid"), e.get("tid"))) != "XLA Ops":
+            continue
+        a = e.get("args") or {}
+        d = e.get("dur", 0)
+        total += d
+        src = re.sub(r"^/root/repo/", "", a.get("source", "?"))
+        by_src[src] += d
+        n_src[src] += 1
+        by_cat[a.get("hlo_category", "?")] += d
+    print(json.dumps({
+        "device_ms_per_step": round(total / (1000 * n_steps), 2),
+        "batch": args.batch, "dtype": args.dtype, "trace_dir": log_dir,
+    }), flush=True)
+    print("# by hlo category (us/step):")
+    for k, v in by_cat.most_common(10):
+        print(f"#  {v/n_steps:9.1f}  {k}")
+    print("# by source line (us/step, count/step):")
+    for k, v in by_src.most_common(args.top):
+        print(f"#  {v/n_steps:9.1f} {n_src[k]//n_steps:5d}  {k}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -383,9 +490,14 @@ def main(argv=None):
     ps.add_argument("--batch", type=int, default=16)
     ps.add_argument("--dtype", default="float32")
     ps.add_argument("--k", type=int, default=8, help="steps per dispatch")
+    pt = sub.add_parser("trace")
+    pt.add_argument("--batch", type=int, default=16)
+    pt.add_argument("--dtype", default="bfloat16")
+    pt.add_argument("--out", default=None, help="trace output dir")
+    pt.add_argument("--top", type=int, default=20)
     args = p.parse_args(argv)
     {"conv": cmd_conv, "layout": cmd_layout, "parts": cmd_parts,
-     "step": cmd_step}[args.cmd](args)
+     "step": cmd_step, "trace": cmd_trace}[args.cmd](args)
 
 
 if __name__ == "__main__":

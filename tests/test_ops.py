@@ -284,24 +284,29 @@ def test_pallas_cheb_v3_large_batch_matches_xla(small_mesh):
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), rtol=1e-4, atol=1e-4)
 
-    # the dispatcher routes to v3 exactly at the column threshold
+    # the dispatcher routes to v3 exactly at the thresholds (both gates:
+    # min batch and min merged columns)
     calls = []
-    orig = cheb_mod.VM_MIN_COLS
-    try:
-        cheb_mod.VM_MIN_COLS = x.shape[0] * x.shape[2]
-        import cape_tpu.ops.pallas.cheb_kernel as ck
+    B, C = x.shape[0], x.shape[2]
+    orig = (cheb_mod.VM_MIN_COLS, cheb_mod.VM_MIN_BATCH)
+    import cape_tpu.ops.pallas.cheb_kernel as ck
 
-        real_v3 = ck.cheb2_banded_pallas_v3
+    real_v3 = ck.cheb2_banded_pallas_v3
+    try:
+        cheb_mod.VM_MIN_COLS = B * C
+        cheb_mod.VM_MIN_BATCH = B
         ck.cheb2_banded_pallas_v3 = lambda *a: (calls.append(1), real_v3(*a))[1]
         cheb_conv(x, op, W)
-        assert calls, "v3 not selected at threshold"
-        ck.cheb2_banded_pallas_v3 = real_v3
-        cheb_mod.VM_MIN_COLS = x.shape[0] * x.shape[2] + 1
-        calls.clear()
-        cheb_conv(x, op, W)
-        assert not calls, "v3 selected below threshold"
+        assert calls, "v3 not selected at thresholds"
+        for narrow in ({"VM_MIN_COLS": B * C + 1}, {"VM_MIN_BATCH": B + 1}):
+            for k, v in narrow.items():
+                setattr(cheb_mod, k, v)
+            calls.clear()
+            cheb_conv(x, op, W)
+            assert not calls, f"v3 selected despite {narrow}"
+            cheb_mod.VM_MIN_COLS, cheb_mod.VM_MIN_BATCH = B * C, B
     finally:
-        cheb_mod.VM_MIN_COLS = orig
+        cheb_mod.VM_MIN_COLS, cheb_mod.VM_MIN_BATCH = orig
         ck.cheb2_banded_pallas_v3 = real_v3
 
 
