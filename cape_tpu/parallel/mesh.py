@@ -6,8 +6,8 @@ The reference is single-process single-GPU with no distributed backend
 1-D `jax.sharding.Mesh`, with parameters/optimizer state replicated and
 the batch axis sharded. Gradient all-reduce is *not* hand-written: the
 per-device partial sums flow through XLA's sharding propagation, which
-inserts the psum over ICI. If model parallelism were ever needed, this
-module is where additional mesh axes would attach.
+inserts the psum over ICI. The 2-D (data x model) tensor-parallel mesh
+lives in parallel.mesh2d and follows the same philosophy.
 
 Multi-chip behavior is testable without hardware via
 XLA_FLAGS=--xla_force_host_platform_device_count=N (see tests/conftest.py

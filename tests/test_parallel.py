@@ -1,10 +1,12 @@
-"""Data-parallel module tests (virtual 8-device CPU mesh)."""
+"""Parallelism tests: 1-D data-parallel and 2-D data x model meshes
+(virtual 8-device CPU mesh)."""
 
 import jax
 import numpy as np
 import pytest
 
 from cape_tpu.parallel.mesh import DATA_AXIS, DataParallel, make_mesh
+from cape_tpu.parallel.mesh2d import MODEL_AXIS, MeshParallel, make_mesh_2d
 
 
 def test_make_mesh_sizes():
@@ -40,6 +42,100 @@ def test_pad_batch_size():
     assert dp.pad_batch_size(16) == 16
     assert dp.pad_batch_size(17) == 24
     assert dp.pad_batch_size(1) == 8
+
+
+def test_mesh2d_shapes_and_rules():
+    m = make_mesh_2d(4, 2)
+    assert m.devices.shape == (4, 2)
+    assert m.axis_names == (DATA_AXIS, MODEL_AXIS)
+    mp = MeshParallel(2, 4)
+    # conv weight [K, fin, fout]: fout divisible -> column parallel
+    assert mp._leaf_spec(np.zeros((2, 3, 8))) == jax.sharding.PartitionSpec(
+        None, None, MODEL_AXIS
+    )
+    # fout not divisible, fin divisible -> row parallel
+    assert mp._leaf_spec(np.zeros((2, 8, 3))) == jax.sharding.PartitionSpec(
+        None, MODEL_AXIS, None
+    )
+    # nothing divisible -> replicated
+    assert mp._leaf_spec(np.zeros((2, 3, 3))) == jax.sharding.PartitionSpec()
+    assert mp._leaf_spec(np.zeros(())) == jax.sharding.PartitionSpec()
+    # dense [in, out] and bias [out]
+    assert mp._leaf_spec(np.zeros((6, 4))) == jax.sharding.PartitionSpec(None, MODEL_AXIS)
+    assert mp._leaf_spec(np.zeros((4, 3))) == jax.sharding.PartitionSpec(MODEL_AXIS, None)
+    assert mp._leaf_spec(np.zeros((8,))) == jax.sharding.PartitionSpec(MODEL_AXIS)
+
+
+@pytest.mark.slow
+def test_dp_tp_mesh_equivalence(tiny_train_setup):
+    """One full GAN train step on 4x2 and 2x4 (data x model) meshes must
+    match the single-device result: GSPMD partitioning is semantics-
+    preserving, so any rule choice may only change performance."""
+    from cape_tpu.models.cape import CAPE
+    from cape_tpu.train.optim import build_optimizer, create_train_state
+    from cape_tpu.train.step import build_train_step
+
+    cfg, ctx, batch = tiny_train_setup
+    model = CAPE(cfg)
+    params_host = jax.device_get(model.init_params(jax.random.PRNGKey(0), ctx))
+    tx, _, _ = build_optimizer(cfg, steps_per_epoch=10)
+
+    def one_step(mp):
+        params = jax.tree_util.tree_map(np.array, params_host)
+        state = create_train_state(params, tx)
+        if mp is None:
+            step = jax.jit(build_train_step(model, cfg, tx))
+            new_state, metrics = step(state, ctx, batch, jax.random.PRNGKey(3))
+        else:
+            step = mp.compile_train_step(build_train_step(model, cfg, tx), state)
+            new_state, metrics = step(
+                mp.shard_state(state), mp.replicate(ctx),
+                mp.shard_batch(batch), jax.random.PRNGKey(3),
+            )
+        return jax.device_get(new_state.params), jax.device_get(metrics)
+
+    p_ref, m_ref = one_step(None)
+    for dp, tp in ((4, 2), (2, 4)):
+        p, m = one_step(MeshParallel(dp, tp))
+        for k in m_ref:
+            np.testing.assert_allclose(
+                float(m[k]), float(m_ref[k]), rtol=1e-4, atol=1e-5,
+                err_msg=f"{dp}x{tp} {k}",
+            )
+        for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(p)[0],
+            jax.tree_util.tree_flatten_with_path(p_ref)[0],
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+                err_msg=f"{dp}x{tp} {jax.tree_util.keystr(pa)}",
+            )
+
+
+@pytest.fixture(scope="module")
+def tiny_train_setup(small_mesh):
+    from cape_tpu.core.config import CAPEConfig
+    from cape_tpu.data.loader import BatchStream, make_gan_batch
+    from cape_tpu.data.synthetic import synthetic_bodydata
+    from cape_tpu.meshops.pyramid import build_pyramid
+    from cape_tpu.meshops.topology import vertices_per_edge
+    from cape_tpu.ops.sparse import build_graph_context
+
+    verts, faces = small_mesh
+    nv = len(verts)
+    cfg = CAPEConfig(
+        name="tp_test", nf=4, nz=8, nz_cond=8, nz_cond2=4,
+        use_res_block=False, use_res_block_dec=True, affine=True,
+        reduce_dim=8, batch_size=8, lambda_edge=1.0, data_parallel=1,
+    )
+    pyr = build_pyramid(verts, faces, cfg.ds_factors)
+    pyr_d = build_pyramid(verts, faces, [2, 2, 2, 2])
+    ctx = build_graph_context(pyr, pyr_d, vertices_per_edge(faces, nv), verts)
+    data = synthetic_bodydata(n_train=48, n_test=8, num_verts=nv, seed=0, n_val=8)
+    sg = BatchStream(len(data.disp_train), cfg.batch_size, 0)
+    sd = BatchStream(len(data.disp_train), cfg.batch_size, 1)
+    batch = {k: np.asarray(v) for k, v in make_gan_batch(data, sg, sd).items()}
+    return cfg, ctx, batch
 
 
 @pytest.mark.slow
