@@ -58,7 +58,8 @@ class DemoSuite:
         self.save_objs = save_objs
         # vis_demo flag (reference config_parser.py:59): instead of the
         # reference's interactive MeshViewers grid (demos.py:225-246) we
-        # write offscreen-rendered PNG contact sheets next to the .objs
+        # write offscreen-rendered PNG contact sheets AND a self-contained
+        # interactive HTML viewer (meshops.viewer) next to the .objs
         self.vis = vis
         self.rng = np.random.default_rng(seed)
 
@@ -306,8 +307,15 @@ class DemoSuite:
                 save_obj(join(obj_dir, f"{prefix}_{i:04d}.obj"), v, self.faces)
         if self.vis:
             from cape_tpu.meshops.render import contact_sheet
+            from cape_tpu.meshops.viewer import export_html
 
             contact_sheet(verts, self.faces, join(obj_dir, f"{prefix}_sheet.png"))
+            # interactive surface (reference MeshViewers window): one
+            # self-contained HTML file per batch — orbit/zoom in a browser
+            export_html(
+                verts, self.faces, join(obj_dir, f"{prefix}_viewer.html"),
+                title=f"{self.name}: {prefix}",
+            )
 
 
 class SimpleDemo:

@@ -1,5 +1,6 @@
 """App-layer tests: inference engine batching, demo suite, CLI config flow."""
 
+import json
 import os
 
 import jax
@@ -201,8 +202,9 @@ def test_render_contact_sheet(small_mesh, tmp_path):
 
 
 def test_demo_vis_flag_writes_pngs(engine, tmp_path):
-    """vis_demo wiring: DemoSuite(vis=True) emits a contact sheet next to
-    the .objs (replaces the reference MeshViewers path, demos.py:225-246)."""
+    """vis_demo wiring: DemoSuite(vis=True) emits a contact sheet and an
+    interactive HTML viewer next to the .objs (replaces the reference
+    MeshViewers path, demos.py:225-246)."""
     suite = DemoSuite(
         engine, name="vis_test", n_sample=2, save_objs=False, vis=True,
         smpl_model_folder="/nonexistent", results_root=str(tmp_path), seed=0,
@@ -211,5 +213,35 @@ def test_demo_vis_flag_writes_pngs(engine, tmp_path):
     obj_dir = os.path.join(suite.results_dir, "sample_vary_clotype")
     pngs = [f for f in os.listdir(obj_dir) if f.endswith("_sheet.png")]
     assert len(pngs) == 4, pngs
+    htmls = [f for f in os.listdir(obj_dir) if f.endswith("_viewer.html")]
+    assert len(htmls) == 4, htmls
     objs = [f for f in os.listdir(obj_dir) if f.endswith(".obj")]
     assert objs == []                               # save_objs=False respected
+
+
+def test_viewer_export_roundtrip(small_mesh, tmp_path):
+    """export_html embeds the exact mesh bytes (base64), fills every
+    template placeholder, and stays self-contained (no external URLs)."""
+    import base64
+    import re
+
+    from cape_tpu.meshops.viewer import export_html
+
+    verts, faces = small_mesh
+    batch = np.stack([verts, verts * 1.5]).astype(np.float32)
+    path = export_html(
+        batch, faces, str(tmp_path / "v.html"), title="t", names=["a", "b"]
+    )
+    html = open(path).read()
+    assert "__VERTS__" not in html and "__NV__" not in html and "__TITLE__" not in html
+    assert re.search(r'https?://', html) is None, "viewer must be offline-capable"
+    # decode the first embedded mesh back and compare bit-exactly
+    m = re.search(r'const VB64 = (\[.*?\]);', html, re.S)
+    verts_b64 = json.loads(m.group(1))
+    assert len(verts_b64) == 2
+    got = np.frombuffer(base64.b64decode(verts_b64[0]), "<f4").reshape(verts.shape)
+    np.testing.assert_array_equal(got, batch[0])
+    m = re.search(r'const FB64 = "([^"]*)";', html)
+    got_f = np.frombuffer(base64.b64decode(m.group(1)), "<u4").reshape(-1, 3)
+    np.testing.assert_array_equal(got_f, faces.astype(np.uint32))
+    assert json.dumps(["a", "b"]) in html
