@@ -33,6 +33,9 @@ import jax.numpy as jnp
 # decoder levels benefit too: step 95.6 vs 101.9 ms at batch 64).
 VM_MIN_COLS = int(os.environ.get("CAPE_TPU_VM_MIN_COLS", "2048"))
 VM_MIN_BATCH = int(os.environ.get("CAPE_TPU_VM_MIN_BATCH", "32"))
+# Minimum Fin for the project-first (Clenshaw) routing; see
+# _cheb_conv_projfirst. 10000 disables it.
+PF_MIN_FIN = int(os.environ.get("CAPE_TPU_PF_MIN_FIN", "0"))
 
 
 def cheb_basis(x: jnp.ndarray, lap, K: int) -> list[jnp.ndarray]:
@@ -43,6 +46,41 @@ def cheb_basis(x: jnp.ndarray, lap, K: int) -> list[jnp.ndarray]:
     for _ in range(2, K):
         xs.append(2.0 * lap(xs[-1]) - xs[-2])
     return xs
+
+
+def _project(x, w):
+    return jnp.einsum(
+        "...vi,io->...vo", x, w.astype(x.dtype), preferred_element_type=x.dtype
+    )
+
+
+def _cheb_conv_projfirst(x: jnp.ndarray, lap, weight: jnp.ndarray) -> jnp.ndarray:
+    """Project-first (Clenshaw) ordering of the Chebyshev filter:
+
+        u_k = x @ W[k];  b_k = u_k + 2 L~ b_{k+1} - b_{k+2}  (b_{K}=b_{K+1}=0)
+        y   = u_0 + L~ b_1 - b_2
+
+    Exact reordering of sum_k T_k(L~) x W[k] — the K-1 operator applies
+    run on Fout channels instead of Fin. The banded apply is bandwidth-
+    bound, so this wins whenever Fout < Fin (every decoder conv: measured
+    3.4x fwd+bwd at level-1 C=128->F=64, docs/PERF.md). cheb_conv routes
+    here on Fout < Fin."""
+    K = weight.shape[0]
+    u = [_project(x, weight[k]) for k in range(K)]
+    bk1 = bk2 = None                                   # b_{k+1}, b_{k+2}
+    for k in range(K - 1, 0, -1):
+        b = u[k]
+        if bk1 is not None:
+            b = b + 2.0 * lap(bk1)
+        if bk2 is not None:
+            b = b - bk2
+        bk1, bk2 = b, bk1
+    y = u[0]
+    if bk1 is not None:
+        y = y + lap(bk1)
+    if bk2 is not None:
+        y = y - bk2
+    return y
 
 
 def cheb_conv(x: jnp.ndarray, lap, weight: jnp.ndarray) -> jnp.ndarray:
@@ -71,6 +109,14 @@ def cheb_conv(x: jnp.ndarray, lap, weight: jnp.ndarray) -> jnp.ndarray:
                 from cape_tpu.ops.pallas.cheb_kernel import cheb2_banded_pallas_v2
 
                 return cheb2_banded_pallas_v2(x, lap, weight)
+    if (
+        K > 1
+        and weight.shape[2] < weight.shape[1]
+        and weight.shape[1] >= PF_MIN_FIN
+    ):
+        # decoder-shaped convs (Fout < Fin): Clenshaw ordering applies the
+        # operator to the projected (narrower) tensor
+        return _cheb_conv_projfirst(x, lap, weight)
     # per-order accumulation. The concat-then-matmul alternative (the
     # reference's formulation) measures 23-29% faster for the isolated
     # forward (fatter K*Fin contraction) but 19% slower for the full

@@ -245,6 +245,105 @@ def cmd_layout(args):
                           **{k: round(v, 4) for k, v in r.items()}}), flush=True)
 
 
+def cmd_fuse(args):
+    """Fusion experiments on one K=2 conv: (a) the S shifted band einsums
+    collapsed into ONE batched GEMM against pre-concatenated blocks
+    [T, rb, S*cb] (fewer, fatter kernels); (b) project-first (Clenshaw)
+    ordering y = x@W0 + A(x@W1), which runs the band apply on Fout instead
+    of Fin channels — a bandwidth win whenever Fout < Fin (all decoder
+    convs). Measured per-conv fwd and fwd+bwd at configurable (C, F)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cape_tpu.ops.cheb import cheb_conv
+
+    B, C, F = args.batch, args.channels, args.fout or args.channels
+    for dtype_name in ("float32", "bfloat16") if args.dtype == "both" else (args.dtype,):
+        dt = jnp.dtype(dtype_name)
+        ctx = _flagship_ctx(dtype_name)
+        lap = ctx.lap[args.level]
+        V = lap.n_rows
+        S, T, rb, cb = lap.blocks.shape
+        pl_, pr_ = lap.pad_left, lap.pad_right
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((B, V, C)), dt)
+        w = jnp.asarray(rng.standard_normal((2, C, F)) * 0.1, dt)
+        # pre-concatenated blocks: [T, rb, S*cb], constant transform of blocks
+        blocks_cat = jnp.asarray(
+            np.asarray(jax.device_get(lap.blocks)).transpose(1, 2, 0, 3).reshape(T, rb, S * cb),
+            dt,
+        )
+
+        def apply_stacked(u, bc):
+            """One batched GEMM: win[b,t,m,c] = xp[b,(t*cb)+m,c], m in [0,S*cb)."""
+            xp = jnp.pad(u, ((0, 0), (pl_, pr_), (0, 0)))
+            Cc = u.shape[-1]
+            win = jnp.concatenate(
+                [xp[:, k * cb : (k + T) * cb, :].reshape(B, T, cb, Cc) for k in range(S)],
+                axis=2,
+            )
+            y = jnp.einsum(
+                "tim,btmc->btic", bc.astype(u.dtype), win,
+                preferred_element_type=u.dtype,
+            )
+            return y.reshape(B, T * rb, Cc)[:, :V, :]
+
+        def conv_prod(x, lap, w):                       # production path
+            return cheb_conv(x, lap, w)
+
+        def conv_stacked(x, bc, w):                     # (a) apply-first, stacked GEMM
+            lx = apply_stacked(x, bc)
+            return jnp.einsum("bvc,cf->bvf", x, w[0]) + jnp.einsum(
+                "bvc,cf->bvf", lx, w[1]
+            )
+
+        def conv_projfirst(x, lap, w):                  # (b) Clenshaw, prod apply
+            u = jnp.einsum("bvc,cf->bvf", x, w[1], preferred_element_type=x.dtype)
+            return jnp.einsum(
+                "bvc,cf->bvf", x, w[0], preferred_element_type=x.dtype
+            ) + lap(u)
+
+        def conv_projfirst_stacked(x, bc, w):           # (a)+(b)
+            u = jnp.einsum("bvc,cf->bvf", x, w[1], preferred_element_type=x.dtype)
+            return jnp.einsum(
+                "bvc,cf->bvf", x, w[0], preferred_element_type=x.dtype
+            ) + apply_stacked(u, bc)
+
+        variants = {
+            "prod": (conv_prod, (lap, w)),
+            "stacked": (conv_stacked, (blocks_cat, w)),
+            "projfirst": (conv_projfirst, (lap, w)),
+            "projfirst_stacked": (conv_projfirst_stacked, (blocks_cat, w)),
+        }
+        ref = None
+        carrier = jnp.zeros_like(x)
+        for name, (fn, extra) in variants.items():
+            out = np.asarray(
+                jax.device_get(jax.jit(fn)(x, *extra)), np.float32
+            )
+            if ref is None:
+                ref = out
+            err = float(np.max(np.abs(out - ref)) / max(np.max(np.abs(ref)), 1e-9))
+            assert err < 5e-2, (name, err)
+            # chained via a carrier perturbing x; output fed back through sum
+            # so shapes stay [B,V,C] regardless of F
+            g = jax.grad(
+                lambda u, *e, fn=fn: jnp.sum(fn(x + u, *e) ** 2)
+            )
+            fwd = _timed_chained(
+                lambda u, *e, fn=fn: u + 1e-12 * jnp.sum(fn(x + u, *e)), carrier, extra
+            )
+            fb = _timed_chained(
+                lambda u, *e, g=g: u - 1e-9 * g(u, *e), carrier, extra
+            )
+            print(json.dumps({
+                "fuse": dtype_name, "B": B, "C": C, "F": F, "level": args.level,
+                "S": int(S), "variant": name,
+                "fwd_ms": round(fwd, 4), "fwdbwd_ms": round(fb, 4),
+            }), flush=True)
+
+
 def cmd_parts(args):
     """Encoder / decoder / discriminator fwd vs fwd+bwd at flagship config."""
     import jax
@@ -483,6 +582,12 @@ def main(argv=None):
     pl = sub.add_parser("layout")
     pl.add_argument("--batch", type=int, default=16)
     pl.add_argument("--channels", type=int, default=64)
+    pf = sub.add_parser("fuse")
+    pf.add_argument("--batch", type=int, default=16)
+    pf.add_argument("--channels", type=int, default=64)
+    pf.add_argument("--fout", type=int, default=None)
+    pf.add_argument("--level", type=int, default=0)
+    pf.add_argument("--dtype", default="both")
     pp = sub.add_parser("parts")
     pp.add_argument("--batch", type=int, default=16)
     pp.add_argument("--dtype", default="float32")
@@ -497,7 +602,7 @@ def main(argv=None):
     pt.add_argument("--top", type=int, default=20)
     args = p.parse_args(argv)
     {"conv": cmd_conv, "layout": cmd_layout, "parts": cmd_parts,
-     "step": cmd_step, "trace": cmd_trace}[args.cmd](args)
+     "fuse": cmd_fuse, "step": cmd_step, "trace": cmd_trace}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -92,6 +92,48 @@ def test_cheb_conv_matches_reference_formulation(template):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_cheb_conv_projfirst_matches_accumulation(template):
+    """Fout < Fin routes to the Clenshaw project-first ordering
+    (ops/cheb.py _cheb_conv_projfirst); it must agree with the
+    accumulate-per-order form in value AND gradient, K=2 and K=3."""
+    from cape_tpu.ops.cheb import _cheb_conv_projfirst, cheb_basis
+
+    verts, faces = template
+    from cape_tpu.meshops.topology import vert_connectivity
+
+    A = vert_connectivity(faces, len(verts))
+    lap = ell_from_scipy(scaled_adjacency(A))
+
+    rng = np.random.default_rng(6)
+    B, V, Fin, Fout = 2, len(verts), 8, 3
+    x = jnp.asarray(rng.standard_normal((B, V, Fin)).astype(np.float32))
+    for K in (2, 3):
+        W = jnp.asarray(
+            rng.standard_normal((K, Fin, Fout)).astype(np.float32) * 0.1
+        )
+
+        def acc(x, W):
+            return sum(
+                jnp.einsum("bvi,io->bvo", xk, W[k])
+                for k, xk in enumerate(cheb_basis(x, lap, K))
+            )
+
+        want = np.asarray(acc(x, W))
+        # the public entry routes here on Fout < Fin
+        got = np.asarray(cheb_conv(x, lap, W))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+        got2 = np.asarray(_cheb_conv_projfirst(x, lap, W))
+        np.testing.assert_allclose(got2, want, rtol=1e-4, atol=1e-5)
+
+        g_want = jax.grad(lambda x, W: jnp.sum(jnp.sin(acc(x, W))), argnums=(0, 1))(x, W)
+        g_got = jax.grad(
+            lambda x, W: jnp.sum(jnp.sin(_cheb_conv_projfirst(x, lap, W))),
+            argnums=(0, 1),
+        )(x, W)
+        for a, b in zip(g_want, g_got):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
 def test_group_norm_matches_oracle():
     rng = np.random.default_rng(7)
     B, V, C, G = 2, 11, 8, 4
