@@ -266,6 +266,53 @@ def _v3_bwd(meta, res, g):
 _pallas_cheb2_v3.defvjp(_v3_fwd, _v3_bwd)
 
 
+# ---------------------------------------------------------------- kernel v4
+# Batch-major band apply: grid (T,), one BlockSpec window per shift on the
+# SAME padded array (no per-shift slice copies — the XLA banded apply
+# materializes S async slice DMAs of the whole activation per apply), and a
+# static in-kernel loop over the batch. No vertex-major transposes.
+
+
+def _make_kernel_bm(S: int, B: int):
+    def kernel(*refs):
+        xs, blk_ref, out_ref = refs[:S], refs[S], refs[S + 1]
+        for b in range(B):
+            acc = None
+            for k in range(S):
+                c = jnp.dot(
+                    blk_ref[k, 0], xs[k][b], preferred_element_type=jnp.float32
+                )
+                acc = c if acc is None else acc + c
+            out_ref[b] = acc.astype(out_ref.dtype)
+
+    return kernel
+
+
+def banded_apply_bm(x, blocks, pad_left, pad_right, n_rows):
+    """y = M x for banded M, batch-major x [B, V, C] -> [B, n_rows, C].
+
+    The grid runs over row tiles; each step DMAs the S shifted x windows
+    (block (B, cb, C) views of one padded buffer) plus the S band blocks,
+    and writes one output tile. VMEM per step ~ 2*(S+1)*B*cb*C elements
+    (double-buffered)."""
+    S, T, rb, cb = blocks.shape
+    B, V, C = x.shape
+    xp = jnp.pad(x, ((0, 0), (pad_left, pad_right), (0, 0)))
+    out = pl.pallas_call(
+        _make_kernel_bm(S, B),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((B, cb, C), (lambda t, k=k: (0, t + k, 0)))
+            for k in range(S)
+        ]
+        + [pl.BlockSpec((S, 1, rb, cb), lambda t: (0, t, 0, 0))],
+        out_specs=pl.BlockSpec((B, rb, C), lambda t: (0, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, T * rb, C), x.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(*([xp] * S + [blocks.astype(x.dtype)]))
+    return out[:, :n_rows, :]
+
+
 def cheb2_banded_pallas_v3(x, band_op, weight):
     """Large-batch fused K=2 Chebyshev conv: vertex-major Pallas band
     applies (fwd and bwd) behind a batch-major [B, V, C] interface."""

@@ -344,6 +344,74 @@ def cmd_fuse(args):
             }), flush=True)
 
 
+def cmd_bmapply(args):
+    """Bare band apply A/B: production XLA banded op vs the batch-major
+    Pallas window kernel (v4) — fwd only, per-apply ms."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cape_tpu.ops.pallas.cheb_kernel import banded_apply_bm
+
+    B, C = args.batch, args.channels
+    for dtype_name in ("float32", "bfloat16") if args.dtype == "both" else (args.dtype,):
+        dt = jnp.dtype(dtype_name)
+        ctx = _flagship_ctx(dtype_name)
+        lap = ctx.lap[args.level]
+        V = lap.n_rows
+        S = int(lap.blocks.shape[0])
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((B, V, C)), dt)
+
+        def pallas_apply(x, blocks):
+            return banded_apply_bm(x, blocks, lap.pad_left, lap.pad_right, V)
+
+        ref = np.asarray(jax.device_get(jax.jit(lambda x, lap: lap(x))(x, lap)), np.float32)
+        got = np.asarray(jax.device_get(jax.jit(pallas_apply)(x, lap.blocks)), np.float32)
+        err = float(np.max(np.abs(ref - got)) / max(np.max(np.abs(ref)), 1e-9))
+        assert err < 5e-2, err
+        S_, T_, rb_, cb_ = lap.blocks.shape
+        pl_, pr_ = lap.pad_left, lap.pad_right
+
+        def apply_cf(xcf, blocks):
+            """Channels-first [B, C, V]: vertex axis minor (full 128 lanes
+            even at C=64, where [.., V, C] wastes half of every tile)."""
+            xp = jnp.pad(xcf, ((0, 0), (0, 0), (pl_, pr_)))
+            y = None
+            for k in range(S_):
+                view = xp[:, :, k * cb_ : k * cb_ + T_ * cb_].reshape(
+                    B, C, T_, cb_
+                )
+                term = jnp.einsum(
+                    "tij,bctj->bcti", blocks[k].astype(xcf.dtype), view,
+                    preferred_element_type=xcf.dtype,
+                )
+                y = term if y is None else y + term
+            return y.reshape(B, C, T_ * rb_)[:, :, :V]
+
+        xcf = jnp.asarray(np.asarray(jax.device_get(x)).transpose(0, 2, 1), dt)
+        ref_cf = np.asarray(
+            jax.device_get(jax.jit(apply_cf)(xcf, lap.blocks)), np.float32
+        ).transpose(0, 2, 1)
+        err_cf = float(np.max(np.abs(ref - ref_cf)) / max(np.max(np.abs(ref)), 1e-9))
+        assert err_cf < 5e-2, err_cf
+
+        # sub-0.3ms ops need inner >> 128 to clear the ~29ms sync floor
+        r = {
+            "xla_ms": _timed_chained(lambda x, lap: lap(x), x, (lap,), inner=512),
+            "pallas_bm_ms": _timed_chained(
+                lambda x, b: pallas_apply(x, b), x, (lap.blocks,), inner=512
+            ),
+            "cf_ms": _timed_chained(
+                lambda x, b: apply_cf(x, b), xcf, (lap.blocks,), inner=512
+            ),
+            "max_rel_err": err,
+        }
+        print(json.dumps({"bmapply": dtype_name, "B": B, "C": C,
+                          "level": args.level, "S": S,
+                          **{k: round(v, 4) for k, v in r.items()}}), flush=True)
+
+
 def cmd_parts(args):
     """Encoder / decoder / discriminator fwd vs fwd+bwd at flagship config."""
     import jax
@@ -588,6 +656,11 @@ def main(argv=None):
     pf.add_argument("--fout", type=int, default=None)
     pf.add_argument("--level", type=int, default=0)
     pf.add_argument("--dtype", default="both")
+    pb = sub.add_parser("bmapply")
+    pb.add_argument("--batch", type=int, default=16)
+    pb.add_argument("--channels", type=int, default=64)
+    pb.add_argument("--level", type=int, default=0)
+    pb.add_argument("--dtype", default="bfloat16")
     pp = sub.add_parser("parts")
     pp.add_argument("--batch", type=int, default=16)
     pp.add_argument("--dtype", default="float32")
@@ -602,7 +675,8 @@ def main(argv=None):
     pt.add_argument("--top", type=int, default=20)
     args = p.parse_args(argv)
     {"conv": cmd_conv, "layout": cmd_layout, "parts": cmd_parts,
-     "fuse": cmd_fuse, "step": cmd_step, "trace": cmd_trace}[args.cmd](args)
+     "fuse": cmd_fuse, "bmapply": cmd_bmapply, "step": cmd_step,
+     "trace": cmd_trace}[args.cmd](args)
 
 
 if __name__ == "__main__":
