@@ -191,3 +191,48 @@ def test_trainer_fit_on_8_device_mesh_with_resume(tmp_path):
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7,
             err_msg=jax.tree_util.keystr(pa),
         )
+
+
+@pytest.mark.slow
+def test_multihost_two_process_step(tmp_path):
+    """Multi-host seam: two OS processes x 4 virtual CPU devices run ONE
+    global train step (parallel.multihost selftest). Every process feeds
+    only its local batch rows; the psum'd metrics must agree across
+    ranks (same global reduction on both controllers)."""
+    import json
+    import os
+    import re
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:                      # free TCP port
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "cape_tpu.parallel.multihost",
+             str(rank), "2", str(port)],
+            env=env, cwd=repo, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True,
+        )
+        for rank in range(2)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"rank failed:\n{out}\n{err[-2000:]}"
+
+    metrics = {}
+    for out, _ in outs:
+        m = re.search(r"SELFTEST (\{.*\})", out)
+        assert m, out
+        rec = json.loads(m.group(1))
+        metrics[rec["rank"]] = rec["metrics"]
+    assert set(metrics) == {0, 1}
+    assert metrics[0] == metrics[1], metrics
+    assert all(np.isfinite(v) for v in metrics[0].values())
