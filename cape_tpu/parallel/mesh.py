@@ -7,7 +7,8 @@ The reference is single-process single-GPU with no distributed backend
 the batch axis sharded. Gradient all-reduce is *not* hand-written: the
 per-device partial sums flow through XLA's sharding propagation, which
 inserts the psum over ICI. The 2-D (data x model) tensor-parallel mesh
-lives in parallel.mesh2d and follows the same philosophy.
+lives in parallel.mesh2d, and multi-host (multi-process) scaling in
+parallel.multihost; both follow the same philosophy.
 
 Multi-chip behavior is testable without hardware via
 XLA_FLAGS=--xla_force_host_platform_device_count=N (see tests/conftest.py
@@ -73,6 +74,12 @@ class DataParallel:
             out_shardings=(self.replicated, self.replicated),
             donate_argnums=(0,),
         )
+
+    def shard_index_chunk(self, idx):
+        """Placement hook for a [K, B] scanned index chunk (axis 1 =
+        batch). Single-host: jit's in_shardings handles plain numpy;
+        multi-host overrides this (parallel.multihost)."""
+        return idx
 
     def compile_resident_train_step(self, step_fn):
         """Device-resident-dataset step: data replicated, index vectors

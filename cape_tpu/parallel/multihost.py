@@ -28,6 +28,7 @@ must agree with each other on the psum'd metrics.
 from __future__ import annotations
 
 import json
+import os
 from typing import Any
 
 import jax
@@ -93,20 +94,54 @@ class MultiHostDataParallel(DataParallel):
         per = global_batch_size // n
         return p * per, (p + 1) * per
 
-    def shard_batch(self, local_batch: Any) -> Any:
-        """Assemble the global batch from this process's local rows.
+    def shard_batch(self, global_batch: Any) -> Any:
+        """Assemble the global sharded batch.
 
-        local_batch arrays have global_batch/process_count rows; the mesh
-        is process-ordered, so each process's rows land on its own
-        devices — the assembly is copy-free on the host side.
+        Every process passes the SAME global batch (the framework's index
+        streams are seed-deterministic, so each controller reconstructs it
+        identically — the standard multi-controller recipe); only this
+        process's rows are device_put, the rest are dropped host-side.
         """
         if jax.process_count() == 1:
-            return super().shard_batch(local_batch)
-        return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(
-                self.batch_sharding, np.asarray(x)
+            return super().shard_batch(global_batch)
+
+        def put(x):
+            x = np.asarray(x)
+            lo, hi = self.local_rows(len(x))
+            return jax.make_array_from_process_local_data(
+                self.batch_sharding, np.ascontiguousarray(x[lo:hi])
+            )
+
+        return jax.tree_util.tree_map(put, global_batch)
+
+    def shard_index_chunk(self, idx: Any) -> Any:
+        """[K, B] scanned index chunk: shard the batch axis (axis 1)."""
+        if jax.process_count() == 1:
+            return super().shard_index_chunk(idx)
+        idx = np.asarray(idx)
+        lo, hi = self.local_rows(idx.shape[1])
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from cape_tpu.parallel.mesh import DATA_AXIS
+
+        return jax.make_array_from_process_local_data(
+            NamedSharding(self.mesh, P(None, DATA_AXIS)),
+            np.ascontiguousarray(idx[:, lo:hi]),
+        )
+
+    def compile_eval_step(self, eval_fn):
+        """Multi-host eval: outputs replicated (the single-host version
+        leaves them batch-sharded, which a per-controller device_get
+        could not read across processes)."""
+        return jax.jit(
+            eval_fn,
+            in_shardings=(
+                self.replicated,
+                self.replicated,
+                self.batch_sharding,
+                self.replicated,
             ),
-            local_batch,
+            out_shardings=(self.replicated, self.replicated),
         )
 
 
@@ -153,16 +188,12 @@ def _selftest(rank: int, nprocs: int, port: int) -> None:
     mh = MultiHostDataParallel()
     assert mh.num_devices == n_dev
 
-    # every process builds the same global batch deterministically, then
-    # feeds only its own rows
+    # every process reconstructs the same global batch deterministically;
+    # shard_batch keeps only this process's rows
     data = synthetic_bodydata(n_train=64, n_test=8, num_verts=nv, seed=0, n_val=8)
     sg = BatchStream(len(data.disp_train), cfg.batch_size, 0)
     sd = BatchStream(len(data.disp_train), cfg.batch_size, 1)
-    lo, hi = mh.local_rows(cfg.batch_size)
-    batch = {
-        k: np.asarray(v)[lo:hi] for k, v in make_gan_batch(data, sg, sd).items()
-    }
-    batch = mh.shard_batch(batch)
+    batch = mh.shard_batch(make_gan_batch(data, sg, sd))
 
     step_fn = mh.compile_train_step(build_train_step(model, cfg, tx))
     state = mh.replicate(create_train_state(params, tx))
@@ -175,6 +206,49 @@ def _selftest(rank: int, nprocs: int, port: int) -> None:
     print("SELFTEST " + json.dumps({"rank": rank, "metrics": m}), flush=True)
 
 
+def _selftest_trainer(rank: int, nprocs: int, port: int) -> None:
+    """Short multi-controller Trainer.fit on the tiny model; prints one
+    JSON line with the per-epoch validation recon losses. Exercises the
+    full production path — resident dataset, scanned dispatch with
+    sharded index chunks, per-epoch padded eval, lead-only checkpoint
+    writes — across processes."""
+    import tempfile
+
+    initialize(f"localhost:{port}", nprocs, rank)
+
+    from cape_tpu.core.config import CAPEConfig
+    from cape_tpu.data.synthetic import synthetic_bodydata
+    from cape_tpu.meshops.pyramid import build_pyramid
+    from cape_tpu.meshops.topology import vertices_per_edge
+    from cape_tpu.meshops.toy import icosphere
+    from cape_tpu.models.cape import CAPE
+    from cape_tpu.ops.sparse import build_graph_context
+    from cape_tpu.train.loop import Trainer
+
+    verts, faces = icosphere(3)
+    nv = len(verts)
+    n_dev = len(jax.devices())
+    cfg = CAPEConfig(
+        name="multihost_trainer", nf=4, nz=8, nz_cond=8, nz_cond2=4,
+        use_res_block=False, use_res_block_dec=True, affine=True,
+        reduce_dim=8, batch_size=2 * n_dev, data_parallel=n_dev,
+        num_epochs=2, steps_per_dispatch=3, log_every_steps=0,
+    )
+    pyr = build_pyramid(verts, faces, cfg.ds_factors)
+    pyr_d = build_pyramid(verts, faces, [2, 2, 2, 2])
+    ctx = build_graph_context(pyr, pyr_d, vertices_per_edge(faces, nv), verts)
+    data = synthetic_bodydata(n_train=64, n_test=8, num_verts=nv, seed=0, n_val=8)
+
+    workdir = os.path.join(tempfile.gettempdir(), f"cape_mh_{port}")
+    trainer = Trainer(
+        cfg, CAPE(cfg), ctx, data, workdir=workdir, dp=MultiHostDataParallel()
+    )
+    val_losses, _ = trainer.fit()
+    out = {"rank": rank, "val_recon": [round(float(v), 6) for v in val_losses]}
+    assert all(np.isfinite(v) for v in out["val_recon"]), out
+    print("SELFTEST " + json.dumps(out), flush=True)
+
+
 if __name__ == "__main__":  # python -m cape_tpu.parallel.multihost RANK N PORT
     import sys
 
@@ -185,4 +259,5 @@ if __name__ == "__main__":  # python -m cape_tpu.parallel.multihost RANK N PORT
         jax.config.update("jax_platforms", "cpu")
     except RuntimeError:
         pass
-    _selftest(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]))
+    fn = _selftest_trainer if "trainer" in sys.argv[4:] else _selftest
+    fn(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]))

@@ -47,6 +47,10 @@ class Trainer:
         # directly); permutation happens only where arrays go to device
         self.vertex_perm = ctx.vertex_perm
         self.dp = dp or DataParallel(cfg.data_parallel)
+        # multi-controller runs (parallel.multihost): every process executes
+        # the same compute; only the lead process touches the filesystem
+        # (checkpoints, metrics, profiles)
+        self.lead = jax.process_index() == 0
         self.run_dir = os.path.join(workdir, cfg.name)
         self.ckpt_dir = os.path.join(self.run_dir, "checkpoints")
 
@@ -84,8 +88,13 @@ class Trainer:
         params = self.model.init_params(rng, self.ctx)
         state = create_train_state(params, self.tx)
         if self.cfg.restart:
-            shutil.rmtree(self.run_dir, ignore_errors=True)
-            os.makedirs(self.ckpt_dir, exist_ok=True)
+            if self.lead:
+                shutil.rmtree(self.run_dir, ignore_errors=True)
+                os.makedirs(self.ckpt_dir, exist_ok=True)
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("cape_tpu:restart_fs")
         else:
             latest = ckpt.latest_checkpoint(self.ckpt_dir)
             if latest is not None:
@@ -133,7 +142,7 @@ class Trainer:
             # the first (warm) chunk, until >= cfg.profile_steps steps are
             # covered (SURVEY §5: the profiling story replacing the
             # reference's TensorBoard-only observability); xprof-viewable
-            if cfg.profile_steps and not profiling and 0 < done_in_run and profiled_steps < cfg.profile_steps:
+            if self.lead and cfg.profile_steps and not profiling and 0 < done_in_run and profiled_steps < cfg.profile_steps:
                 try:
                     jax.profiler.start_trace(os.path.join(self.run_dir, "profile"))
                     profiling = True
@@ -147,7 +156,9 @@ class Trainer:
             # per-step RNG is derived from state.step inside the scan body,
             # so chunking does not change the random stream (resume safety)
             state, metrics = self.multi_jit(
-                state, self.ctx, self.train_data_dev, idx_g, idx_d, rng
+                state, self.ctx, self.train_data_dev,
+                self.dp.shard_index_chunk(idx_g),
+                self.dp.shard_index_chunk(idx_d), rng,
             )
             jax.device_get(metrics["loss_g"])  # chunk sync
             t_in_steps += time.perf_counter() - t0
@@ -159,7 +170,7 @@ class Trainer:
                     jax.profiler.stop_trace()
                     profiling = False
 
-            if cfg.log_every_steps:
+            if cfg.log_every_steps and self.lead:
                 rows = [i for i in range(k) if (step + i) % cfg.log_every_steps == 0]
                 if rows:
                     m_all = jax.device_get(metrics)
@@ -184,10 +195,12 @@ class Trainer:
                 # pure train-step time, excluding compile/eval/checkpointing
                 m["step_ms"] = 1000.0 * t_in_steps / max(steps_done, 1)
                 t_in_steps, steps_done = 0.0, 0
-                logger.log(step - 1, m, echo=True)
-                ckpt.save_checkpoint(
-                    self.ckpt_dir, jax.device_get(state), step, keep=cfg.checkpoint_keep
-                )
+                if self.lead:
+                    logger.log(step - 1, m, echo=True)
+                    ckpt.save_checkpoint(
+                        self.ckpt_dir, jax.device_get(state), step,
+                        keep=cfg.checkpoint_keep,
+                    )
 
         if profiling:
             jax.profiler.stop_trace()

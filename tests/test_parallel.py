@@ -194,11 +194,14 @@ def test_trainer_fit_on_8_device_mesh_with_resume(tmp_path):
 
 
 @pytest.mark.slow
-def test_multihost_two_process_step(tmp_path):
-    """Multi-host seam: two OS processes x 4 virtual CPU devices run ONE
-    global train step (parallel.multihost selftest). Every process feeds
-    only its local batch rows; the psum'd metrics must agree across
-    ranks (same global reduction on both controllers)."""
+@pytest.mark.parametrize("mode", ["step", "trainer"])
+def test_multihost_two_process(mode):
+    """Multi-host seam: two OS processes x 4 virtual CPU devices run the
+    parallel.multihost selftest — one global train step ("step") or a
+    short 2-epoch Trainer.fit through the production scanned-dispatch
+    path ("trainer"). Every process feeds only its local batch rows; the
+    psum'd results must agree across ranks (same global reduction on
+    both controllers)."""
     import json
     import os
     import re
@@ -217,7 +220,7 @@ def test_multihost_two_process_step(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, "-m", "cape_tpu.parallel.multihost",
-             str(rank), "2", str(port)],
+             str(rank), "2", str(port), mode],
             env=env, cwd=repo, stdout=subprocess.PIPE,
             stderr=subprocess.PIPE, text=True,
         )
@@ -227,12 +230,13 @@ def test_multihost_two_process_step(tmp_path):
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"rank failed:\n{out}\n{err[-2000:]}"
 
-    metrics = {}
+    recs = {}
     for out, _ in outs:
         m = re.search(r"SELFTEST (\{.*\})", out)
         assert m, out
         rec = json.loads(m.group(1))
-        metrics[rec["rank"]] = rec["metrics"]
-    assert set(metrics) == {0, 1}
-    assert metrics[0] == metrics[1], metrics
-    assert all(np.isfinite(v) for v in metrics[0].values())
+        recs[rec.pop("rank")] = rec
+    assert set(recs) == {0, 1}
+    assert recs[0] == recs[1], recs
+    if mode == "trainer":
+        assert len(recs[0]["val_recon"]) == 2       # one per epoch
