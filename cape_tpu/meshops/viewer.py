@@ -18,6 +18,7 @@ this is the "rotate it and look" surface.
 from __future__ import annotations
 
 import base64
+import html
 import json
 import os
 
@@ -227,9 +228,9 @@ def export_html(
     ]
     faces_b64 = base64.b64encode(faces.astype("<u4").tobytes()).decode("ascii")
 
-    html = (
+    doc = (
         _TEMPLATE
-        .replace("__TITLE__", json.dumps(title)[1:-1])
+        .replace("__TITLE__", html.escape(title))
         .replace("__NAMES__", json.dumps(list(names)))
         .replace("__NV__", str(nv))
         .replace("__NF__", str(len(faces)))
@@ -238,5 +239,5 @@ def export_html(
     )
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
-        f.write(html)
+        f.write(doc)
     return path

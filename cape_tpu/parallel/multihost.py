@@ -237,15 +237,25 @@ def _selftest_trainer(rank: int, nprocs: int, port: int) -> None:
     pyr = build_pyramid(verts, faces, cfg.ds_factors)
     pyr_d = build_pyramid(verts, faces, [2, 2, 2, 2])
     ctx = build_graph_context(pyr, pyr_d, vertices_per_edge(faces, nv), verts)
-    data = synthetic_bodydata(n_train=64, n_test=8, num_verts=nv, seed=0, n_val=8)
+    # 64 - 16 val = 48 train rows -> 3 steps/epoch at global batch 16
+    data = synthetic_bodydata(n_train=64, n_test=8, num_verts=nv, seed=0, n_val=16)
 
     workdir = os.path.join(tempfile.gettempdir(), f"cape_mh_{port}")
-    trainer = Trainer(
-        cfg, CAPE(cfg), ctx, data, workdir=workdir, dp=MultiHostDataParallel()
-    )
+    mh = MultiHostDataParallel()
+    trainer = Trainer(cfg, CAPE(cfg), ctx, data, workdir=workdir, dp=mh)
     val_losses, _ = trainer.fit()
     out = {"rank": rank, "val_recon": [round(float(v), 6) for v in val_losses]}
     assert all(np.isfinite(v) for v in out["val_recon"]), out
+
+    # resume phase with DIVERGENT host filesystems: only the lead's
+    # workdir holds the checkpoint (non-lead points at an empty dir);
+    # init_or_restore must broadcast the lead's restored state so every
+    # rank continues from the same step
+    wd2 = workdir if rank == 0 else workdir + "_empty"
+    cfg2 = cfg.replace(restart=False, num_epochs=1)
+    trainer2 = Trainer(cfg2, CAPE(cfg2), ctx, data, workdir=wd2, dp=mh)
+    trainer2.fit()
+    out["resume_end_step"] = int(jax.device_get(trainer2.state.step))
     print("SELFTEST " + json.dumps(out), flush=True)
 
 

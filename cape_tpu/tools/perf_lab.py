@@ -327,15 +327,18 @@ def cmd_fuse(args):
             err = float(np.max(np.abs(out - ref)) / max(np.max(np.abs(ref)), 1e-9))
             assert err < 5e-2, (name, err)
             # chained via a carrier perturbing x; output fed back through sum
-            # so shapes stay [B,V,C] regardless of F
+            # so shapes stay [B,V,C] regardless of F. x rides as an
+            # argument — closing over it would inline it into the HLO
+            # (CLAUDE.md: remote-compile upload 413 on large constants)
             g = jax.grad(
-                lambda u, *e, fn=fn: jnp.sum(fn(x + u, *e) ** 2)
+                lambda u, x_, *e, fn=fn: jnp.sum(fn(x_ + u, *e) ** 2)
             )
             fwd = _timed_chained(
-                lambda u, *e, fn=fn: u + 1e-12 * jnp.sum(fn(x + u, *e)), carrier, extra
+                lambda u, x_, *e, fn=fn: u + 1e-12 * jnp.sum(fn(x_ + u, *e)),
+                carrier, (x,) + extra,
             )
             fb = _timed_chained(
-                lambda u, *e, g=g: u - 1e-9 * g(u, *e), carrier, extra
+                lambda u, x_, *e, g=g: u - 1e-9 * g(u, x_, *e), carrier, (x,) + extra
             )
             print(json.dumps({
                 "fuse": dtype_name, "B": B, "C": C, "F": F, "level": args.level,

@@ -95,6 +95,24 @@ class Trainer:
                 from jax.experimental import multihost_utils
 
                 multihost_utils.sync_global_devices("cape_tpu:restart_fs")
+        elif jax.process_count() > 1:
+            # checkpoints are written lead-only (possibly to a host-local
+            # filesystem), so the restore DECISION and VALUES must come
+            # from the lead — otherwise ranks whose latest_checkpoint()
+            # differs silently train divergent replicas
+            from jax.experimental import multihost_utils
+
+            host_state = jax.device_get(state)
+            if self.lead:
+                latest = ckpt.latest_checkpoint(self.ckpt_dir)
+                if latest is not None:
+                    host_state = ckpt.restore_checkpoint(latest, host_state)
+            state = multihost_utils.broadcast_one_to_all(host_state)
+            if int(jax.device_get(state.step)) > 0:
+                print(
+                    f"resumed at step {int(jax.device_get(state.step))} "
+                    "(broadcast from lead)", flush=True,
+                )
         else:
             latest = ckpt.latest_checkpoint(self.ckpt_dir)
             if latest is not None:
@@ -111,7 +129,7 @@ class Trainer:
         state = self.init_or_restore(rng)
         start_step = int(jax.device_get(state.step))
 
-        logger = MetricsLogger(self.run_dir)
+        logger = MetricsLogger(self.run_dir, write=self.lead)
         stream_g = BatchStream(len(self.data.disp_train), cfg.batch_size, seed)
         stream_d = BatchStream(len(self.data.disp_train), cfg.batch_size, seed + 1)
         # resume determinism: replay the index streams to the checkpointed

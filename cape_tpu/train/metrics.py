@@ -27,15 +27,22 @@ class EMA:
 
 
 class MetricsLogger:
-    def __init__(self, run_dir: str, filename: str = "metrics.jsonl"):
-        os.makedirs(run_dir, exist_ok=True)
-        self.path = os.path.join(run_dir, filename)
-        self._fh = open(self.path, "a")
+    def __init__(self, run_dir: str, filename: str = "metrics.jsonl", write: bool = True):
+        """write=False keeps the EMA state but touches no filesystem —
+        non-lead ranks of a multi-controller run use this so only the
+        lead process creates run_dir / metrics.jsonl."""
+        self._fh = None
+        if write:
+            os.makedirs(run_dir, exist_ok=True)
+            self.path = os.path.join(run_dir, filename)
+            self._fh = open(self.path, "a")
         self.ema_g = EMA()
         self.ema_d = EMA()
         self.t0 = time.time()
 
     def log(self, step: int, payload: dict[str, Any], echo: bool = False) -> None:
+        if self._fh is None:
+            return
         record = {"step": int(step), "t": round(time.time() - self.t0, 3)}
         record.update(
             {k: (float(v) if hasattr(v, "__float__") else v) for k, v in payload.items()}
@@ -51,7 +58,8 @@ class MetricsLogger:
             print(parts, flush=True)
 
     def close(self):
-        self._fh.close()
+        if self._fh is not None:
+            self._fh.close()
 
 
 def profile_steps(log_dir: str):

@@ -92,6 +92,30 @@ def test_cheb_conv_matches_reference_formulation(template):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_banded_apply_bm_matches_xla(small_mesh):
+    """Pallas v4 batch-major window apply (interpret mode on CPU) ==
+    the production XLA banded apply on a toy pyramid level."""
+    from cape_tpu.meshops.pyramid import build_pyramid
+    from cape_tpu.meshops.topology import vertices_per_edge
+    from cape_tpu.ops.pallas.cheb_kernel import banded_apply_bm
+    from cape_tpu.ops.sparse import build_graph_context
+
+    verts, faces = small_mesh
+    pyr = build_pyramid(verts, faces, [1, 2, 1, 2, 1, 2, 1, 1])
+    ctx = build_graph_context(
+        pyr, build_pyramid(verts, faces, [2, 2, 2, 2]),
+        vertices_per_edge(faces, len(verts)), verts,
+    )
+    lap = ctx.lap[0]
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, lap.n_rows, 8)), jnp.float32)
+    ref = np.asarray(lap(x))
+    got = np.asarray(
+        banded_apply_bm(x, lap.blocks, lap.pad_left, lap.pad_right, lap.n_rows)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
 def test_cheb_conv_projfirst_matches_accumulation(template):
     """Fout < Fin routes to the Clenshaw project-first ordering
     (ops/cheb.py _cheb_conv_projfirst); it must agree with the

@@ -226,7 +226,12 @@ def test_multihost_two_process(mode):
         )
         for rank in range(2)
     ]
-    outs = [p.communicate(timeout=600) for p in procs]
+    try:
+        outs = [p.communicate(timeout=600) for p in procs]
+    finally:
+        for p in procs:                 # don't leak ranks on timeout/assert
+            if p.poll() is None:
+                p.kill()
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"rank failed:\n{out}\n{err[-2000:]}"
 
@@ -240,3 +245,7 @@ def test_multihost_two_process(mode):
     assert recs[0] == recs[1], recs
     if mode == "trainer":
         assert len(recs[0]["val_recon"]) == 2       # one per epoch
+        # 3 steps/epoch (48 train rows / global batch 16): phase 1 trains
+        # 2 epochs to step 6, phase 2 resumes from the lead-broadcast
+        # checkpoint and adds 1 epoch -> step 9
+        assert recs[0]["resume_end_step"] == 9, recs[0]
