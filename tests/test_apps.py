@@ -111,6 +111,7 @@ def test_config_presets_load():
         "configs/CAPE-affineconv_nz64_pose32_clotype32_male.yaml",
         "configs/CAPE_nz18_pose24_clotype8_female.yaml",
         "configs/default_config.yaml",
+        "configs/config.yaml",                # new-training template
     ):
         cfg = load_config(preset)
         assert cfg.num_conv_layers == 8
