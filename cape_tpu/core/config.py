@@ -79,7 +79,11 @@ class CAPEConfig:
     remat: bool = False                    # jax.checkpoint each block (large batches)
     fold_conditions: bool = True           # algebraic condition folding (exact)
     data_parallel: int = 0                 # 0 = use all local devices
-    steps_per_dispatch: int = 8            # train steps scanned per device dispatch
+    # train steps scanned per device dispatch: one dispatch + one sync
+    # round-trip covers this many full GAN steps (queue depth stays 1).
+    # 32 measured best through the remote relay (11.26 vs 14 ms/step at 8,
+    # docs/PERF.md); chunks are clipped to epoch boundaries by the Trainer.
+    steps_per_dispatch: int = 32
     log_every_steps: int = 0               # 0 = per-epoch only
     profile_steps: int = 0                 # capture a jax.profiler trace of N steps
     checkpoint_keep: int = 5
