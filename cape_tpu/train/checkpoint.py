@@ -37,10 +37,16 @@ def unflatten_tree(flat: dict[str, np.ndarray], template):
 
 
 def save_checkpoint(ckpt_dir: str, tree, step: int, keep: int = 5) -> str:
-    """Write state at `step`, pruning to the newest `keep` checkpoints."""
+    """Write state at `step`, pruning to the newest `keep` checkpoints.
+
+    The write is atomic (tmp + rename): latest_checkpoint never sees a
+    half-written file, even if the writer (possibly the Trainer's async
+    checkpoint worker) dies mid-save."""
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(ckpt_dir, f"ckpt_{step:010d}.npz")
-    np.savez(path, **flatten_tree(tree))
+    tmp = os.path.join(ckpt_dir, f".tmp_ckpt_{step:010d}.npz")
+    np.savez(tmp, **flatten_tree(tree))
+    os.replace(tmp, path)
     if keep > 0:
         existing = sorted(
             f for f in os.listdir(ckpt_dir) if re.fullmatch(r"ckpt_\d+\.npz", f)

@@ -12,9 +12,11 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from cape_tpu.core.config import CAPEConfig
@@ -53,6 +55,9 @@ class Trainer:
         self.lead = jax.process_index() == 0
         self.run_dir = os.path.join(workdir, cfg.name)
         self.ckpt_dir = os.path.join(self.run_dir, "checkpoints")
+        self._ckpt_thread: threading.Thread | None = None
+        self._ckpt_exc: BaseException | None = None
+        self._snap_jit = None
 
         n_train = len(data.disp_train)
         self.steps_per_epoch = max(n_train // cfg.batch_size, 1)
@@ -82,6 +87,45 @@ class Trainer:
         if self.vertex_perm is None:
             return disp
         return np.ascontiguousarray(disp[:, self.vertex_perm])
+
+    # ------------------------------------------------------------------
+    # async checkpointing: the device->host fetch of the ~125 MB state
+    # dominated per-epoch overhead through the remote relay (docs/PERF.md
+    # endurance). Snapshot the state into FRESH device buffers (one jitted
+    # copy — the live state's buffers are donated to the next dispatch, so
+    # they cannot be fetched concurrently), then fetch + write on a worker
+    # thread while the next epoch trains. Joined before the next save and
+    # at the end of fit, so on return every checkpoint is fully on disk.
+    def _join_ckpt(self):
+        t = self._ckpt_thread
+        if t is not None:
+            t.join()
+            self._ckpt_thread = None
+        if self._ckpt_exc is not None:
+            exc, self._ckpt_exc = self._ckpt_exc, None
+            raise exc
+
+    def _save_ckpt_async(self, state, step: int):
+        self._join_ckpt()
+        if self._snap_jit is None:
+            self._snap_jit = jax.jit(
+                lambda s: jax.tree_util.tree_map(jnp.copy, s)
+            )
+        snap = self._snap_jit(state)
+
+        def work():
+            try:
+                ckpt.save_checkpoint(
+                    self.ckpt_dir, jax.device_get(snap), step,
+                    keep=self.cfg.checkpoint_keep,
+                )
+            except BaseException as e:  # surfaced at the next join
+                self._ckpt_exc = e
+
+        self._ckpt_thread = threading.Thread(
+            target=work, name="ckpt-writer", daemon=True
+        )
+        self._ckpt_thread.start()
 
     # ------------------------------------------------------------------
     def init_or_restore(self, rng: jax.Array):
@@ -215,13 +259,11 @@ class Trainer:
                 t_in_steps, steps_done = 0.0, 0
                 if self.lead:
                     logger.log(step - 1, m, echo=True)
-                    ckpt.save_checkpoint(
-                        self.ckpt_dir, jax.device_get(state), step,
-                        keep=cfg.checkpoint_keep,
-                    )
+                    self._save_ckpt_async(state, step)
 
         if profiling:
             jax.profiler.stop_trace()
+        self._join_ckpt()               # final checkpoint fully on disk
         logger.close()
         t_step = (time.time() - t_start) / max(self.num_steps, 1)
         self.state = state
