@@ -52,6 +52,8 @@ def build_context(cfg: CAPEConfig):
     return build_graph_context(
         pyr, pyr_d, assets.smpl_edges(), verts, loss_mask=loss_mask,
         mode=cfg.op_mode, dtype=np.dtype(cfg.compute_dtype),
+        padded=cfg.padded_layout and cfg.op_mode == "banded",
+        use_pallas=cfg.use_pallas,
     )
 
 

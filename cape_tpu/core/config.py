@@ -87,7 +87,15 @@ class CAPEConfig:
     log_every_steps: int = 0               # 0 = per-epoch only
     profile_steps: int = 0                 # capture a jax.profiler trace of N steps
     checkpoint_keep: int = 5
-    use_pallas: bool = True                # fused Pallas kernels where profitable
+    # Pallas kernel routing: False pins every conv to the XLA banded path
+    # (ops.cheb routes the large-batch v3 kernel automatically past its
+    # measured thresholds otherwise). The CAPE_TPU_PALLAS env var overrides
+    # globally: 0 = kill switch, 1 = also enable the experimental v2 path.
+    use_pallas: bool = True
+    # Persistent-padded vertex layout (banded mode only): activations stay
+    # at 128-row multiples through the whole network; pad once at the model
+    # input, slice once at its output (docs/PERF.md round-3 measurement).
+    padded_layout: bool = True
 
     # ------------------------------------------------------------------
     # Derived architecture facts (reference: main.py:31-84)

@@ -89,17 +89,21 @@ def cmr_block_init(key, K: int, fin: int, fout: int) -> dict:
     return p
 
 
-def cmr_block_apply(p: dict, x_in, lap, up):
+def cmr_block_apply(p: dict, x_in, lap, up, n_valid: int | None = None):
     """unpool -> [GN->relu->1x1 -> GN->relu->cheb -> GN->relu->1x1] + skip
-    (lib/models.py:744-774, GraphCMR 1905.03244)."""
+    (lib/models.py:744-774, GraphCMR 1905.03244).
+
+    n_valid: natural vertex count when the vertex axis is padded
+    (persistent-padded layout) — the group-norm statistics then run over
+    valid rows only (ops.norm)."""
     xu = up(x_in)
-    x = group_norm(xu, p["gn0"]["gamma"], p["gn0"]["beta"])
+    x = group_norm(xu, p["gn0"]["gamma"], p["gn0"]["beta"], n_valid=n_valid)
     x = jax.nn.relu(x)
     x = conv1x1_apply(p["lin1"], x, lap)
-    x = group_norm(x, p["gn1"]["gamma"], p["gn1"]["beta"])
+    x = group_norm(x, p["gn1"]["gamma"], p["gn1"]["beta"], n_valid=n_valid)
     x = jax.nn.relu(x)
     x = cheb_conv(x, lap, p["conv"]["w"])
-    x = group_norm(x, p["gn2"]["gamma"], p["gn2"]["beta"])
+    x = group_norm(x, p["gn2"]["gamma"], p["gn2"]["beta"], n_valid=n_valid)
     x = jax.nn.relu(x)
     x = conv1x1_apply(p["lin2"], x, lap)
     skip = conv1x1_apply(p["proj"], xu, lap) if "proj" in p else xu

@@ -32,8 +32,19 @@ from cape_tpu.core.params import (
     leaky_relu,
 )
 from cape_tpu.models import blocks
+from cape_tpu.ops.banded import padded_size
 from cape_tpu.ops.cheb import cheb_conv, cheb_conv_folded
 from cape_tpu.ops.sparse import GraphContext
+
+
+def _pad_vertex_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """Pad the vertex axis of [..., V, C] up to the next 128-multiple
+    (persistent-padded layout entry boundary; ops.banded)."""
+    P = padded_size(x.shape[-2])
+    if P == x.shape[-2]:
+        return x
+    pad = [(0, 0)] * (x.ndim - 2) + [(0, P - x.shape[-2]), (0, 0)]
+    return jnp.pad(x, pad)
 
 
 def _cond_hidden_width(y_dim: int, nz_cond: int) -> int:
@@ -188,6 +199,10 @@ class CAPE:
         cfg = self.cfg
         enc = params["generator"]["encoder"]
         x = x.astype(self.dtype)
+        if ctx.padded:
+            # persistent-padded layout: pad ONCE here; every pyramid op is
+            # padded-in/padded-out and the tail rows ride along (ops.banded)
+            x = _pad_vertex_rows(x)
         fold = cfg.fold_conditions and cfg.cond_encoder
         if cfg.cond_encoder and not fold:
             x = blocks.concat_conditions(x, y, y2)
@@ -222,6 +237,8 @@ class CAPE:
                     )
                 )
             x = blk(p, x)
+        if ctx.padded:
+            x = x[:, : ctx.level_sizes[-1], :]  # exit the padded layout
         if cfg.reduce_dim > 0:
             x = blocks.conv1x1_apply(enc["reduce"], x, ctx.lap[-1])
         x = x.reshape(x.shape[0], -1)
@@ -241,6 +258,8 @@ class CAPE:
         x = x.reshape(x.shape[0], p_last, -1)
         if cfg.reduce_dim > 0:
             x = blocks.conv1x1_apply(dec["expand"], x, ctx.lap[-1])
+        if ctx.padded:
+            x = _pad_vertex_rows(x)  # enter the padded layout
 
         # condition folding is exact for the linear block forms (udn /
         # affine); the CMR block's group norms see the cond channels, so
@@ -272,8 +291,13 @@ class CAPE:
                         lambda p, x, lap=lap, up=up: blocks.affine_block_apply(p, x, lap, up)
                     )
                 else:
+                    # padded layout: GN statistics run over the natural
+                    # vertex count of this level only
+                    nv = lap.n_rows if ctx.padded else None
                     blk = self._block(
-                        lambda p, x, lap=lap, up=up: blocks.cmr_block_apply(p, x, lap, up)
+                        lambda p, x, lap=lap, up=up, nv=nv: blocks.cmr_block_apply(
+                            p, x, lap, up, n_valid=nv
+                        )
                     )
             else:
                 blk = self._block(
@@ -287,6 +311,8 @@ class CAPE:
             x = cheb_conv_folded(x, [y, y2], ctx.lap[0], dec["out"]["w"])
         else:
             x = cheb_conv(x, ctx.lap[0], dec["out"]["w"])
+        if ctx.padded:
+            x = x[:, : ctx.level_sizes[0], :]  # exit the padded layout
         return x + dec["out"]["b"].astype(x.dtype)
 
     # ------------------------------------------------------------- generator
@@ -318,6 +344,8 @@ class CAPE:
         cfg = self.cfg
         disc = params["discriminator"]
         x = x.astype(self.dtype)
+        if ctx.padded:
+            x = _pad_vertex_rows(x)
         fold = cfg.fold_conditions
         if not fold:
             x = blocks.concat_conditions(x, y, y2)
@@ -336,4 +364,7 @@ class CAPE:
                 )
             )
             x = blk(disc[f"layer{i}"], x)
-        return cheb_conv(x, ctx.lap_d[-1], disc["pred"]["w"])
+        x = cheb_conv(x, ctx.lap_d[-1], disc["pred"]["w"])
+        if ctx.padded:
+            x = x[:, : ctx.level_sizes_d[-1], :]  # exit the padded layout
+        return x

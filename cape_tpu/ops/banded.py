@@ -29,9 +29,24 @@ import scipy.sparse as sp
 from flax import struct
 
 
-def _apply_blocks(x, blocks, pad_left, pad_right, n_rows):
-    """y = M x for banded M packed as shifted blocks."""
+def _apply_blocks(x, blocks, pad_left, pad_right, n_rows, padded=False):
+    """y = M x for banded M packed as shifted blocks.
+
+    padded=False (natural layout): x has n_cols rows, y is sliced to n_rows.
+    padded=True (persistent-padded layout): x has ceil(n_cols/rb)*rb rows
+    whose tail rows may hold ARBITRARY values — every window position past
+    column n_cols is structurally zero in `blocks` (no nnz maps there at
+    pack time), so tail garbage is annihilated — and y is returned at the
+    full T*rb rows with the tail rows exactly zero (zero block rows past
+    n_rows). Keeping activations at the padded length removes the per-apply
+    output slice (and its transpose pad in the VJP) that showed up as
+    ~1.7 ms/step of pure data formatting in the round-2 trace
+    (docs/PERF.md: device-time attribution).
+    """
     S, T, rb, cb = blocks.shape
+    if padded:
+        # halo only: x is already row-tile padded; extend to the window.
+        pad_right = max((T + S - 1) * cb - pad_left - x.shape[-2], 0)
     pad = [(0, 0)] * (x.ndim - 2) + [(pad_left, pad_right), (0, 0)]
     xp = jnp.pad(x, pad)
     blocks = blocks.astype(x.dtype)
@@ -45,13 +60,13 @@ def _apply_blocks(x, blocks, pad_left, pad_right, n_rows):
         )
         y = term if y is None else y + term
     y = y.reshape(x.shape[:-2] + (T * rb,) + x.shape[-1:])
-    return y[..., :n_rows, :]
+    return y if padded else y[..., :n_rows, :]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def banded_matvec(meta, x, blocks, t_blocks):
-    pad_left, pad_right, n_rows, _, _, _ = meta
-    return _apply_blocks(x, blocks, pad_left, pad_right, n_rows)
+    pad_left, pad_right, n_rows, _, _, _, padded = meta
+    return _apply_blocks(x, blocks, pad_left, pad_right, n_rows, padded)
 
 
 def _banded_fwd(meta, x, blocks, t_blocks):
@@ -59,18 +74,32 @@ def _banded_fwd(meta, x, blocks, t_blocks):
 
 
 def _banded_bwd(meta, res, g):
-    _, _, _, t_pad_left, t_pad_right, n_cols = meta
+    # In padded mode the cotangent g arrives at the padded row count; its
+    # tail rows are structurally zero whenever the op's output feeds a
+    # banded op or a slice-to-natural boundary downstream (both have
+    # zero-tail VJPs), so dW/db accumulations elsewhere stay exact.
+    _, _, _, t_pad_left, t_pad_right, n_cols, padded = meta
     blocks, t_blocks = res
-    dx = _apply_blocks(g, t_blocks, t_pad_left, t_pad_right, n_cols)
+    dx = _apply_blocks(g, t_blocks, t_pad_left, t_pad_right, n_cols, padded)
     return dx, jnp.zeros_like(blocks), jnp.zeros_like(t_blocks)
 
 
 banded_matvec.defvjp(_banded_fwd, _banded_bwd)
 
 
+def padded_size(n: int, block: int = 128) -> int:
+    """Row count of the persistent-padded layout for a natural size n."""
+    return -(-n // block) * block
+
+
 @struct.dataclass
 class BandedOp:
-    """y[..., i, c] = sum_j M[i, j] x[..., j, c] for banded M."""
+    """y[..., i, c] = sum_j M[i, j] x[..., j, c] for banded M.
+
+    padded=False: x [.., n_cols, C] -> y [.., n_rows, C] (natural layout).
+    padded=True:  x [.., p_cols, C] -> y [.., p_rows, C] (persistent-padded
+    layout; tail input rows are ignored, tail output rows are zero).
+    """
 
     blocks: jnp.ndarray                                # [S, T, rb, cb]
     t_blocks: jnp.ndarray                              # transpose packing
@@ -82,17 +111,33 @@ class BandedOp:
     pad_right: int = struct.field(pytree_node=False)
     t_pad_left: int = struct.field(pytree_node=False)
     t_pad_right: int = struct.field(pytree_node=False)
+    padded: bool = struct.field(pytree_node=False, default=False)
+    allow_pallas: bool = struct.field(pytree_node=False, default=True)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         meta = (
             self.pad_left, self.pad_right, self.n_rows,
             self.t_pad_left, self.t_pad_right, self.n_cols,
+            self.padded,
         )
+        if self.padded:
+            assert x.shape[-2] == self.p_cols, (
+                f"padded BandedOp expects {self.p_cols} input rows, "
+                f"got {x.shape[-2]} (natural {self.n_cols})"
+            )
         return banded_matvec(meta, x, self.blocks, self.t_blocks)
 
     @property
     def shape(self):
         return (self.n_rows, self.n_cols)
+
+    @property
+    def p_rows(self) -> int:
+        return self.blocks.shape[1] * self.row_block
+
+    @property
+    def p_cols(self) -> int:
+        return self.t_blocks.shape[1] * self.row_block
 
     @property
     def pallas_eligible(self) -> bool:
@@ -137,10 +182,12 @@ def _pack_blocks(csr: sp.csr_matrix, row_block: int):
 
 
 def banded_from_scipy(
-    m: sp.spmatrix, row_block: int = 128, dtype=jnp.float32
+    m: sp.spmatrix, row_block: int = 128, dtype=jnp.float32,
+    padded: bool = False, allow_pallas: bool = True,
 ) -> BandedOp:
     """Pack a (pre-permuted) banded sparse matrix and its transpose into
-    shifted block form."""
+    shifted block form. padded=True builds the op in the persistent-padded
+    layout (see BandedOp)."""
     csr = sp.csr_matrix(m)
     R, C = csr.shape
     blocks, cb, pad_left, pad_right = _pack_blocks(csr, row_block)
@@ -158,6 +205,8 @@ def banded_from_scipy(
         pad_right=pad_right,
         t_pad_left=t_pad_left,
         t_pad_right=t_pad_right,
+        padded=padded,
+        allow_pallas=allow_pallas,
     )
 
 

@@ -94,10 +94,14 @@ def cheb_conv(x: jnp.ndarray, lap, weight: jnp.ndarray) -> jnp.ndarray:
         from cape_tpu.ops import pallas as pallas_cfg
         from cape_tpu.ops.banded import BandedOp
 
-        if isinstance(lap, BandedOp) and lap.pallas_eligible:
-            # large-batch auto path: always on (measured win past the
-            # thresholds); the CAPE_TPU_PALLAS gate covers only the
-            # experimental small-batch kernel
+        if (
+            isinstance(lap, BandedOp)
+            and lap.pallas_eligible
+            and lap.allow_pallas       # cfg.use_pallas via build_graph_context
+            and not pallas_cfg.killed()  # CAPE_TPU_PALLAS=0 global kill switch
+        ):
+            # large-batch auto path: on by default past the measured
+            # thresholds (the v2 experiment below stays opt-in)
             if (
                 x.shape[0] >= VM_MIN_BATCH
                 and x.shape[0] * x.shape[2] >= VM_MIN_COLS
@@ -105,7 +109,7 @@ def cheb_conv(x: jnp.ndarray, lap, weight: jnp.ndarray) -> jnp.ndarray:
                 from cape_tpu.ops.pallas.cheb_kernel import cheb2_banded_pallas_v3
 
                 return cheb2_banded_pallas_v3(x, lap, weight)
-            if pallas_cfg.enabled():
+            if pallas_cfg.enabled() and not lap.padded:
                 from cape_tpu.ops.pallas.cheb_kernel import cheb2_banded_pallas_v2
 
                 return cheb2_banded_pallas_v2(x, lap, weight)

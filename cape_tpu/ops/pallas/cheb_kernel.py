@@ -156,11 +156,13 @@ def _kernel_v2(xw_ref, blk_ref, out_ref, lx_ref):
 def _col_tile(M: int, target: int = 4096) -> int:
     """Largest 128-multiple divisor of M that is <= target (VMEM cap: the
     per-step working set is a few [128, tile] buffers plus an f32 scratch;
-    an untiled M = B*C of 16384 at bf16 blows the 16 MB scoped VMEM)."""
+    an untiled M = B*C of 16384 at bf16 blows the 16 MB scoped VMEM).
+    Callers guarantee M % 128 == 0 (pad first), so mt=128 always divides
+    and this never falls back past the cap."""
     for mt in range(min(M, target), 0, -128):
         if M % mt == 0 and mt % 128 == 0:
             return mt
-    return M
+    raise AssertionError(f"column count {M} not a 128-multiple — pad first")
 
 
 def _pallas_band_apply_v2(x_padded_vm, blocks):
@@ -168,11 +170,17 @@ def _pallas_band_apply_v2(x_padded_vm, blocks):
 
     Grid (T, M/MT, S) with the shift index minor: the f32 scratch tile
     accumulates the S band contributions for one (row-tile, col-tile) and
-    is flushed once, so each output tile is written exactly once."""
+    is flushed once, so each output tile is written exactly once. Merged
+    column counts that are not 128-multiples (e.g. B*C = 16*41) are padded
+    up so the VMEM tile cap always holds (ADVICE round 2: the old
+    fallback ran the full untiled M)."""
     S, T, rb, cb = blocks.shape
-    M = x_padded_vm.shape[-1]
+    M0 = x_padded_vm.shape[-1]
+    M = -(-M0 // 128) * 128
+    if M != M0:
+        x_padded_vm = jnp.pad(x_padded_vm, ((0, 0), (0, M - M0)))
     MT = _col_tile(M)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _kernel_v2,
         grid=(T, M // MT, S),
         in_specs=[
@@ -184,6 +192,7 @@ def _pallas_band_apply_v2(x_padded_vm, blocks):
         scratch_shapes=[pltpu.VMEM((rb, MT), jnp.float32)],
         interpret=jax.default_backend() != "tpu",
     )(x_padded_vm, blocks)
+    return out[:, :M0] if M != M0 else out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -315,8 +324,20 @@ def banded_apply_bm(x, blocks, pad_left, pad_right, n_rows):
 
 def cheb2_banded_pallas_v3(x, band_op, weight):
     """Large-batch fused K=2 Chebyshev conv: vertex-major Pallas band
-    applies (fwd and bwd) behind a batch-major [B, V, C] interface."""
-    meta = (band_op.pad_left, band_op.pad_right, band_op.n_rows)
+    applies (fwd and bwd) behind a batch-major [B, V, C] interface.
+
+    Persistent-padded ops (band_op.padded) hand x in at the tile-padded
+    row count P = T*128; the kernel's window is then reached with a pure
+    halo pad and the output keeps all P rows (the [:n_rows] slice becomes
+    the identity), matching the padded BandedOp contract."""
+    if band_op.padded:
+        S, T, rb, cb = band_op.blocks.shape
+        P = T * rb
+        assert x.shape[1] == P, (x.shape, P)
+        halo_right = max((T + S - 1) * cb - band_op.pad_left - P, 0)
+        meta = (band_op.pad_left, halo_right, P)
+    else:
+        meta = (band_op.pad_left, band_op.pad_right, band_op.n_rows)
     w = weight.astype(x.dtype)
     return _pallas_cheb2_v3(meta, x, band_op.blocks.astype(x.dtype), w[0], w[1])
 

@@ -170,7 +170,10 @@ def dense_from_scipy(m: sp.spmatrix, dtype=jnp.float32) -> DenseOp:
     return DenseOp(mat=jnp.asarray(sp.csr_matrix(m).toarray(), dtype=dtype))
 
 
-def make_op(m: sp.spmatrix, mode: str = "auto", dtype=jnp.float32):
+def make_op(
+    m: sp.spmatrix, mode: str = "auto", dtype=jnp.float32,
+    padded: bool = False, allow_pallas: bool = True,
+):
     """Pick the device representation for a host sparse matrix.
 
     mode: 'auto' | 'banded' | 'ell' | 'dense'. Identities are always
@@ -178,13 +181,16 @@ def make_op(m: sp.spmatrix, mode: str = "auto", dtype=jnp.float32):
     meshops.ordering) is the production path — static-slice block matmuls,
     no gathers; 'ell' is the gather fallback for arbitrary sparsity;
     'dense' is ~25x slower than ELL at these sizes (kept for A/B).
+    padded (banded only) builds the op in the persistent-padded layout.
     """
     if mode in ("auto", "banded", "ell") and _is_identity(m):
         return IdentityOp(n_rows=m.shape[0])
     if mode == "banded":
         from cape_tpu.ops.banded import banded_from_scipy
 
-        return banded_from_scipy(m, dtype=dtype)
+        return banded_from_scipy(
+            m, dtype=dtype, padded=padded, allow_pallas=allow_pallas
+        )
     if mode == "dense":
         return dense_from_scipy(m, dtype)
     return ell_from_scipy(m, dtype)
@@ -213,6 +219,11 @@ class GraphContext:
     loss_mask: jnp.ndarray
     level_sizes: tuple = struct.field(pytree_node=False)
     level_sizes_d: tuple = struct.field(pytree_node=False)
+    # persistent-padded vertex layout: pyramid ops consume/produce
+    # activations padded to 128-row multiples (banded mode only); the model
+    # pads once at its input boundary and slices once at its output.
+    # edge_op / template_verts / loss_mask stay in the natural layout.
+    padded: bool = struct.field(pytree_node=False, default=False)
     # level-0 vertex permutation when the banded (reordered) formulation is
     # active: device tensors live in permuted order, hosts permute at I/O.
     # None => natural order. Stored as a leaf for host-side use only.
@@ -245,13 +256,22 @@ def build_graph_context(
     loss_mask: np.ndarray | float = 1.0,
     mode: str = "banded",
     dtype: Any = jnp.float32,
+    padded: bool = False,
+    use_pallas: bool = True,
 ) -> GraphContext:
     """Device context. mode='banded' (default, production) reorders both
     pyramids by RCM/induced orderings (meshops.ordering) so every apply is
     gather-free; the level-0 permutation is recorded in ctx.perm0 and all
     vertex-indexed constants here are stored permuted. Hosts must permute
     per-vertex data in and un-permute predictions out (the loaders and the
-    inference engine do this automatically)."""
+    inference engine do this automatically).
+
+    padded=True (banded only): pyramid operators use the persistent-padded
+    vertex layout — activations stay at 128-row multiples through the whole
+    network, removing the per-apply output slices (docs/PERF.md). The model
+    handles the pad/slice boundaries; edge_op and the loss constants stay
+    natural. use_pallas=False pins every conv to the XLA banded path
+    (cfg.use_pallas; the CAPE_TPU_PALLAS env var overrides either way)."""
     template_verts = np.asarray(template_verts)
     edges = np.asarray(edges)
     perm0 = None
@@ -272,15 +292,20 @@ def build_graph_context(
             loss_mask = loss_mask[perms[0]]
         perm0 = perms[0]
 
-    laps = [make_op(L, mode, dtype) for L in pyramid.scaled_laplacians()]
-    downs = [make_op(D, mode, dtype) for D in pyramid.downsamples]
-    ups = [make_op(U, mode, dtype) for U in pyramid.upsamples]
-    laps_d = [make_op(L, mode, dtype) for L in disc_pyramid.scaled_laplacians()]
-    downs_d = [make_op(D, mode, dtype) for D in disc_pyramid.downsamples]
+    if padded and mode != "banded":
+        raise ValueError("padded layout requires mode='banded'")
+    kw = dict(padded=padded, allow_pallas=use_pallas)
+    laps = [make_op(L, mode, dtype, **kw) for L in pyramid.scaled_laplacians()]
+    downs = [make_op(D, mode, dtype, **kw) for D in pyramid.downsamples]
+    ups = [make_op(U, mode, dtype, **kw) for U in pyramid.upsamples]
+    laps_d = [make_op(L, mode, dtype, **kw) for L in disc_pyramid.scaled_laplacians()]
+    downs_d = [make_op(D, mode, dtype, **kw) for D in disc_pyramid.downsamples]
+    # losses consume natural-layout predictions; edge_op stays natural
     edge_op = make_op(
         _edge_incidence(edges, len(template_verts), sort_for_band=(mode == "banded")),
         mode,
         dtype,
+        allow_pallas=use_pallas,
     )
     mask = jnp.asarray(loss_mask, dtype=jnp.float32)
     return GraphContext(
@@ -295,5 +320,6 @@ def build_graph_context(
         loss_mask=mask,
         level_sizes=tuple(pyramid.level_sizes),
         level_sizes_d=tuple(disc_pyramid.level_sizes),
+        padded=padded,
         perm0=None if perm0 is None else jnp.asarray(perm0, jnp.int32),
     )

@@ -46,6 +46,7 @@ def run_one(dtype: str, epochs: int, seed: int, workdir: str) -> dict:
         assets.load_pyramid("for_demo"), assets.load_pyramid("ds2"),
         assets.smpl_edges(), verts, mode=cfg.op_mode,
         dtype=np.dtype(cfg.compute_dtype),
+        padded=cfg.padded_layout, use_pallas=cfg.use_pallas,
     )
     data = synthetic_bodydata(n_train=512, n_test=64, num_verts=6890, seed=seed)
     model = CAPE(cfg)

@@ -67,7 +67,7 @@ def _timed_chained(step, x0, extra, inner=128, reps=8, warmup=2):
     return 1000.0 * times[len(times) // 2] / inner
 
 
-def _flagship_ctx(dtype):
+def _flagship_ctx(dtype, padded: bool = False):
     import numpy as np
 
     from cape_tpu.meshops import assets
@@ -76,7 +76,7 @@ def _flagship_ctx(dtype):
     verts, _ = assets.template_mesh()
     return build_graph_context(
         assets.load_pyramid("for_demo"), assets.load_pyramid("ds2"),
-        assets.smpl_edges(), verts, dtype=np.dtype(dtype),
+        assets.smpl_edges(), verts, dtype=np.dtype(dtype), padded=padded,
     )
 
 
@@ -490,9 +490,10 @@ def cmd_step(args):
         name="perflab_step", nz=64, nz_cond=32, nz_cond2=32, nf=64,
         use_res_block=False, use_res_block_dec=True, affine=True,
         reduce_dim=64, lambda_edge=1.0, batch_size=args.batch,
-        compute_dtype=args.dtype,
+        compute_dtype=args.dtype, padded_layout=bool(args.padded),
+        remat=bool(args.remat),
     )
-    ctx = _flagship_ctx(args.dtype)
+    ctx = _flagship_ctx(args.dtype, padded=cfg.padded_layout)
     model = CAPE(cfg)
     params = jax.jit(model.init_params)(jax.random.PRNGKey(0), ctx)
     tx, _, _ = build_optimizer(cfg, steps_per_epoch=1940)
@@ -564,9 +565,9 @@ def cmd_trace(args):
         name="perflab_trace", nz=64, nz_cond=32, nz_cond2=32, nf=64,
         use_res_block=False, use_res_block_dec=True, affine=True,
         reduce_dim=64, lambda_edge=1.0, batch_size=args.batch,
-        compute_dtype=args.dtype,
+        compute_dtype=args.dtype, padded_layout=bool(args.padded),
     )
-    ctx = _flagship_ctx(args.dtype)
+    ctx = _flagship_ctx(args.dtype, padded=cfg.padded_layout)
     model = CAPE(cfg)
     params = jax.jit(model.init_params)(jax.random.PRNGKey(0), ctx)
     tx, _, _ = build_optimizer(cfg, steps_per_epoch=1940)
@@ -671,11 +672,14 @@ def main(argv=None):
     ps.add_argument("--batch", type=int, default=16)
     ps.add_argument("--dtype", default="float32")
     ps.add_argument("--k", type=int, default=8, help="steps per dispatch")
+    ps.add_argument("--padded", type=int, default=0, help="persistent-padded layout")
+    ps.add_argument("--remat", type=int, default=0, help="jax.checkpoint each block")
     pt = sub.add_parser("trace")
     pt.add_argument("--batch", type=int, default=16)
     pt.add_argument("--dtype", default="bfloat16")
     pt.add_argument("--out", default=None, help="trace output dir")
     pt.add_argument("--top", type=int, default=20)
+    pt.add_argument("--padded", type=int, default=0, help="persistent-padded layout")
     args = p.parse_args(argv)
     {"conv": cmd_conv, "layout": cmd_layout, "parts": cmd_parts,
      "fuse": cmd_fuse, "bmapply": cmd_bmapply, "step": cmd_step,

@@ -177,3 +177,125 @@ def test_flagship_architecture_facts(ctx):
 
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     assert 15_000_000 < n_params < 20_000_000, n_params
+
+
+# ---------------------------------------------------------------------------
+# Persistent-padded vertex layout (ops.banded padded mode): the model must
+# produce identical outputs AND parameter gradients with padded and natural
+# GraphContexts, for every block family (plain, affine-folded, res+CMR+GN).
+# ---------------------------------------------------------------------------
+
+_SMALL_CONFIGS = {
+    "plain": dict(
+        nz=8, nz_cond=8, nz_cond2=4, nf=8, use_res_block=False,
+        use_res_block_dec=False, affine=False, reduce_dim=8,
+    ),
+    "affine_folded": dict(
+        nz=8, nz_cond=8, nz_cond2=4, nf=8, use_res_block=False,
+        use_res_block_dec=True, affine=True, reduce_dim=8,
+    ),
+    # CMR group norms need every post-concat channel count divisible by
+    # G=min(32, C) — true for the reference configs (channels and ncond are
+    # multiples of 32); nf=32 keeps that property at test scale.
+    "res_cmr": dict(
+        nz=8, nz_cond=24, nz_cond2=8, nf=32, use_res_block=True,
+        use_res_block_dec=True, affine=False, reduce_dim=32,
+        cond_encoder=True,
+    ),
+}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", list(_SMALL_CONFIGS))
+def test_padded_layout_equivalence(small_mesh, name):
+    from cape_tpu.meshops.pyramid import build_pyramid
+    from cape_tpu.meshops.topology import vertices_per_edge
+    from cape_tpu.train.step import _gan_losses
+
+    verts, faces = small_mesh
+    nv = len(verts)
+    cfg = CAPEConfig(batch_size=2, **_SMALL_CONFIGS[name])
+    pyr = build_pyramid(verts, faces, cfg.ds_factors)
+    pyr_d = build_pyramid(verts, faces, [2, 2, 2, 2])
+    edges = vertices_per_edge(faces, nv)
+    ctx_n = build_graph_context(pyr, pyr_d, edges, verts)
+    ctx_p = build_graph_context(pyr, pyr_d, edges, verts, padded=True)
+    assert ctx_p.padded and not ctx_n.padded
+
+    model = CAPE(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), ctx_n)
+    rng = np.random.default_rng(3)
+    B = cfg.batch_size
+    batch = {
+        "disp_g": jnp.asarray(rng.standard_normal((B, nv, 3)), jnp.float32),
+        "pose_g": jnp.asarray(rng.standard_normal((B, cfg.cond_dim)), jnp.float32),
+        "clo_g": jnp.asarray(np.eye(4, dtype=np.float32)[rng.integers(0, 4, B)]),
+        "disp_d": jnp.asarray(rng.standard_normal((B, nv, 3)), jnp.float32),
+        "pose_d": jnp.asarray(rng.standard_normal((B, cfg.cond_dim)), jnp.float32),
+        "clo_d": jnp.asarray(np.eye(4, dtype=np.float32)[rng.integers(0, 4, B)]),
+    }
+    key = jax.random.PRNGKey(7)
+
+    def run(ctx):
+        def loss_fn(p):
+            total, metrics = _gan_losses(model, cfg, p, ctx, batch, key)
+            return total, metrics
+
+        (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return total, metrics, grads
+
+    t_n, m_n, g_n = jax.jit(run)(ctx_n)
+    t_p, m_p, g_p = jax.jit(run)(ctx_p)
+
+    np.testing.assert_allclose(float(t_n), float(t_p), rtol=1e-5)
+    for k in m_n:
+        np.testing.assert_allclose(
+            float(m_n[k]), float(m_p[k]), rtol=1e-5, atol=1e-6, err_msg=k
+        )
+    flat_n = jax.tree_util.tree_leaves_with_path(g_n)
+    flat_p = jax.tree_util.tree_leaves(g_p)
+    assert len(flat_n) == len(flat_p)
+    for (path, a), b in zip(flat_n, flat_p):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+@pytest.mark.slow
+def test_padded_layout_forward_exact(small_mesh):
+    """Forward decode/discriminate outputs are bit-close between layouts
+    (the padded apply adds only exact-zero contributions)."""
+    from cape_tpu.meshops.pyramid import build_pyramid
+    from cape_tpu.meshops.topology import vertices_per_edge
+
+    verts, faces = small_mesh
+    nv = len(verts)
+    cfg = CAPEConfig(batch_size=2, **_SMALL_CONFIGS["affine_folded"])
+    pyr = build_pyramid(verts, faces, cfg.ds_factors)
+    pyr_d = build_pyramid(verts, faces, [2, 2, 2, 2])
+    edges = vertices_per_edge(faces, nv)
+    ctx_n = build_graph_context(pyr, pyr_d, edges, verts)
+    ctx_p = build_graph_context(pyr, pyr_d, edges, verts, padded=True)
+
+    model = CAPE(cfg)
+    params = model.init_params(jax.random.PRNGKey(1), ctx_n)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, nv, 3)), jnp.float32)
+    pose = jnp.asarray(rng.standard_normal((2, cfg.cond_dim)), jnp.float32)
+    clo = jnp.asarray(np.eye(4, dtype=np.float32)[rng.integers(0, 4, 2)])
+    key = jax.random.PRNGKey(2)
+
+    def fwd(ctx):
+        y, y2 = model.embed_conditions(params, pose, clo)
+        x_hat, z_mean, z_logvar, _ = model.generate(params, ctx, x, y, y2, key)
+        d = model.discriminate(params, ctx, x, y, y2)
+        return x_hat, z_mean, z_logvar, d
+
+    out_n = jax.jit(fwd)(ctx_n)
+    out_p = jax.jit(fwd)(ctx_p)
+    for a, b in zip(out_n, out_p):
+        assert a.shape == b.shape                 # natural shapes at the API
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )

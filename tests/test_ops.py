@@ -403,3 +403,172 @@ def test_b2relu_vertex_bias():
     out = np.asarray(b2relu(x, b))
     np.testing.assert_allclose(out, 0.05, atol=1e-7)
 
+
+
+def test_banded_padded_matches_natural(small_mesh):
+    """Persistent-padded BandedOp apply == natural apply in value AND VJP,
+    on every operator shape class of a real pyramid (square Laplacians,
+    rectangular down/up). Tail input rows are garbage by contract and must
+    not affect the output; tail input cotangents must come back zero."""
+    from cape_tpu.meshops.pyramid import build_pyramid
+    from cape_tpu.meshops.topology import vertices_per_edge
+    from cape_tpu.ops.banded import BandedOp, padded_size
+    from cape_tpu.ops.sparse import build_graph_context
+
+    verts, faces = small_mesh
+    pyr = build_pyramid(verts, faces, [1, 2, 1, 2, 1, 2, 1, 1])
+    ctx = build_graph_context(
+        pyr, build_pyramid(verts, faces, [2, 2, 2, 2]),
+        vertices_per_edge(faces, len(verts)), verts,
+    )
+    rng = np.random.default_rng(0)
+    ops = (
+        list(ctx.lap) + list(ctx.down) + list(ctx.up)
+        + list(ctx.lap_d) + list(ctx.down_d) + [ctx.edge_op]
+    )
+    tested = 0
+    for op in ops:
+        if not isinstance(op, BandedOp):
+            continue
+        tested += 1
+        opp = op.replace(padded=True)
+        P_in, P_out = opp.p_cols, opp.p_rows
+        assert P_in == padded_size(op.n_cols) and P_out == padded_size(op.n_rows)
+
+        x = jnp.asarray(rng.standard_normal((2, op.n_cols, 5)), jnp.float32)
+        garbage = jnp.asarray(
+            rng.standard_normal((2, P_in - op.n_cols, 5)) * 50.0, jnp.float32
+        )
+        xp = jnp.concatenate([x, garbage], axis=1)
+
+        y = np.asarray(op(x))
+        yp = np.asarray(opp(xp))
+        assert yp.shape == (2, P_out, 5)
+        np.testing.assert_array_equal(yp[:, : op.n_rows], y)      # bit-exact
+        np.testing.assert_array_equal(yp[:, op.n_rows :], 0.0)    # zero tail
+
+        g_nat = jax.grad(lambda v: jnp.sum(op(v) ** 2))(x)
+        g_pad = jax.grad(lambda v: jnp.sum((opp(v)[:, : op.n_rows]) ** 2))(xp)
+        np.testing.assert_allclose(
+            np.asarray(g_pad[:, : op.n_cols]), np.asarray(g_nat),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_array_equal(np.asarray(g_pad[:, op.n_cols :]), 0.0)
+    assert tested >= 8  # laps + non-identity down/up of both pyramids
+
+
+def test_group_norm_masked_stats_match_natural():
+    """group_norm(n_valid=V) over a padded tensor == group_norm over the
+    natural rows, regardless of tail garbage; batch_norm likewise."""
+    from cape_tpu.ops.norm import batch_norm, group_norm
+
+    rng = np.random.default_rng(4)
+    V, P, C = 37, 64, 8
+    x = jnp.asarray(rng.standard_normal((3, V, C)), jnp.float32)
+    tail = jnp.asarray(rng.standard_normal((3, P - V, C)) * 100.0, jnp.float32)
+    xp = jnp.concatenate([x, tail], axis=1)
+    gamma = jnp.asarray(rng.standard_normal(C), jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(C), jnp.float32)
+
+    want = np.asarray(group_norm(x, gamma, beta, num_groups=4))
+    got = np.asarray(group_norm(xp, gamma, beta, num_groups=4, n_valid=V))
+    np.testing.assert_allclose(got[:, :V], want, rtol=1e-4, atol=1e-5)
+
+    want_b = np.asarray(batch_norm(x, gamma, beta))
+    got_b = np.asarray(batch_norm(xp, gamma, beta, n_valid=V))
+    np.testing.assert_allclose(got_b[:, :V], want_b, rtol=1e-4, atol=1e-5)
+
+
+def test_use_pallas_false_forces_xla_path(small_mesh):
+    """allow_pallas=False (cfg.use_pallas) and the CAPE_TPU_PALLAS=0 kill
+    switch must both bypass the auto-selected v3 kernel."""
+    import os
+
+    import cape_tpu.ops.cheb as cheb_mod
+    import cape_tpu.ops.pallas.cheb_kernel as ck
+    from cape_tpu.meshops.pyramid import build_pyramid
+    from cape_tpu.meshops.topology import vertices_per_edge
+    from cape_tpu.ops.sparse import build_graph_context
+
+    verts, faces = small_mesh
+    pyr = build_pyramid(verts, faces, [1, 2, 1, 2, 1, 2, 1, 1])
+    ctx = build_graph_context(
+        pyr, build_pyramid(verts, faces, [2, 2, 2, 2]),
+        vertices_per_edge(faces, len(verts)), verts, use_pallas=False,
+    )
+    op = ctx.lap[0]
+    assert not op.allow_pallas
+    B, C = 64, 64
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, op.n_rows, C)), jnp.float32)
+    W = jnp.asarray(rng.standard_normal((2, C, C)) * 0.1, jnp.float32)
+
+    calls = []
+    real_v3 = ck.cheb2_banded_pallas_v3
+    ck.cheb2_banded_pallas_v3 = lambda *a, **k: calls.append(1) or real_v3(*a, **k)
+    orig = (cheb_mod.VM_MIN_COLS, cheb_mod.VM_MIN_BATCH)
+    try:
+        cheb_mod.VM_MIN_COLS, cheb_mod.VM_MIN_BATCH = B * C, B
+        from cape_tpu.ops.cheb import cheb_conv
+
+        cheb_conv(x, op, W)                       # allow_pallas=False
+        assert not calls, "v3 selected despite use_pallas=False"
+
+        op_on = op.replace(allow_pallas=True)
+        cheb_conv(x, op_on, W)
+        assert calls, "v3 not selected with allow_pallas=True at thresholds"
+
+        calls.clear()
+        os.environ["CAPE_TPU_PALLAS"] = "0"       # global kill switch
+        try:
+            cheb_conv(x, op_on, W)
+            assert not calls, "v3 selected despite CAPE_TPU_PALLAS=0"
+        finally:
+            del os.environ["CAPE_TPU_PALLAS"]
+    finally:
+        cheb_mod.VM_MIN_COLS, cheb_mod.VM_MIN_BATCH = orig
+        ck.cheb2_banded_pallas_v3 = real_v3
+
+
+def test_pallas_v3_padded_matches_natural(small_mesh):
+    """The large-batch v3 kernel under the persistent-padded layout ==
+    the natural-layout conv (interpret mode on CPU), value and grads."""
+    import cape_tpu.ops.cheb as cheb_mod
+    from cape_tpu.meshops.pyramid import build_pyramid
+    from cape_tpu.meshops.topology import vertices_per_edge
+    from cape_tpu.ops.cheb import cheb_conv
+    from cape_tpu.ops.sparse import build_graph_context
+
+    verts, faces = small_mesh
+    pyr = build_pyramid(verts, faces, [1, 2, 1, 2, 1, 2, 1, 1])
+    pyr_d = build_pyramid(verts, faces, [2, 2, 2, 2])
+    edges = vertices_per_edge(faces, len(verts))
+    ctx_n = build_graph_context(pyr, pyr_d, edges, verts)
+    ctx_p = build_graph_context(pyr, pyr_d, edges, verts, padded=True)
+    op_n, op_p = ctx_n.lap[0], ctx_p.lap[0]
+
+    B, C, F = 8, 16, 12
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((B, op_n.n_rows, C)), jnp.float32)
+    xp = jnp.pad(x, ((0, 0), (0, op_p.p_rows - op_n.n_rows), (0, 0)))
+    W = jnp.asarray(rng.standard_normal((2, C, F)) * 0.1, jnp.float32)
+
+    orig = (cheb_mod.VM_MIN_COLS, cheb_mod.VM_MIN_BATCH)
+    try:
+        cheb_mod.VM_MIN_COLS, cheb_mod.VM_MIN_BATCH = B * C, B  # force v3
+        want = np.asarray(cheb_conv(x, op_n.replace(allow_pallas=False), W))
+        got = np.asarray(cheb_conv(xp, op_p, W))
+        np.testing.assert_allclose(got[:, : op_n.n_rows], want, rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(got[:, op_n.n_rows :], 0.0)
+
+        g_nat = jax.grad(
+            lambda w: jnp.sum(cheb_conv(x, op_n.replace(allow_pallas=False), w) ** 2)
+        )(W)
+        g_pad = jax.grad(
+            lambda w: jnp.sum(cheb_conv(xp, op_p, w)[:, : op_n.n_rows] ** 2)
+        )(W)
+        np.testing.assert_allclose(
+            np.asarray(g_pad), np.asarray(g_nat), rtol=1e-4, atol=1e-4
+        )
+    finally:
+        cheb_mod.VM_MIN_COLS, cheb_mod.VM_MIN_BATCH = orig
