@@ -61,6 +61,12 @@ class DataParallel:
             lambda x: jax.device_put(x, self.replicated), tree
         )
 
+    def shard_state(self, state: Any) -> Any:
+        """Place a TrainState for this parallelism mode. DP replicates;
+        MeshParallel overrides with its tensor-parallel param shardings —
+        the Trainer calls this one seam for both."""
+        return self.replicate(state)
+
     def compile_train_step(self, step_fn):
         """jit the train step with DP shardings pinned on the batch argument."""
         return jax.jit(
@@ -99,9 +105,12 @@ class DataParallel:
             donate_argnums=(0,),
         )
 
-    def compile_multi_train_step(self, multi_fn):
+    def compile_multi_train_step(self, multi_fn, state_template: Any = None):
         """Scanned K-steps-per-dispatch variant of the resident step:
-        index arrays are [K, B] with the batch axis (axis 1) sharded."""
+        index arrays are [K, B] with the batch axis (axis 1) sharded.
+        `state_template` (leaf shapes for param sharding rules) is unused
+        here — params replicate under DP — but part of the shared seam so
+        the Trainer can drive DataParallel and MeshParallel identically."""
         idx_sharding = NamedSharding(self.mesh, P(None, DATA_AXIS))
         return jax.jit(
             multi_fn,
@@ -117,9 +126,10 @@ class DataParallel:
             donate_argnums=(0,),
         )
 
-    def compile_eval_step(self, eval_fn):
+    def compile_eval_step(self, eval_fn, params_template: Any = None):
         # both outputs carry the batch axis (pred [B,V,3], per-sample
-        # metric vectors [B]) and stay sharded over it
+        # metric vectors [B]) and stay sharded over it; params_template is
+        # part of the shared parallelism seam (used by MeshParallel)
         return jax.jit(
             eval_fn,
             in_shardings=(

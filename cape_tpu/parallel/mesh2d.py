@@ -109,6 +109,15 @@ class MeshParallel:
             lambda x, s: jax.device_put(x, s), state, self.state_shardings(state)
         )
 
+    def shard_index_chunk(self, idx):
+        """[K, B] scanned index chunk; jit's in_shardings places it
+        (single-host, same as DataParallel)."""
+        return idx
+
+    def pad_batch_size(self, global_batch: int) -> int:
+        """The batch axis shards over the data dimension only."""
+        return ((global_batch + self.dp - 1) // self.dp) * self.dp
+
     # -------------------------------------------------------------- compile
     def compile_train_step(self, step_fn, state_template: Any):
         """jit the (state, ctx, batch, rng) train step with DP+TP shardings.
@@ -134,4 +143,17 @@ class MeshParallel:
             ),
             out_shardings=(ss, self.replicated),
             donate_argnums=(0,),
+        )
+
+    def compile_eval_step(self, eval_fn, params_template: Any):
+        """(params, ctx, batch, rng) eval step with tensor-parallel param
+        shardings; outputs keep the batch axis sharded over DATA_AXIS (the
+        Trainer's per-controller device_get reads them — single-host)."""
+        ps = jax.tree_util.tree_map(
+            lambda x: NamedSharding(self.mesh, self._leaf_spec(x)), params_template
+        )
+        return jax.jit(
+            eval_fn,
+            in_shardings=(ps, self.replicated, self.batch_sharding, self.replicated),
+            out_shardings=(self.batch_sharding, self.batch_sharding),
         )

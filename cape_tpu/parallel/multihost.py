@@ -11,10 +11,14 @@ recipe:
   * :class:`MultiHostDataParallel` builds the same 1-D data mesh as
     single-host ``DataParallel``, but over the global devices; params
     stay replicated, the batch axis spans all chips of all hosts;
-  * each process materializes only ITS rows of the global batch
-    (``local_rows``) and assembles the global array with
-    ``jax.make_array_from_process_local_data`` — no host ever holds the
-    full global batch;
+  * the PRODUCTION path ships only [K, B] int32 index chunks per dispatch
+    (``shard_index_chunk``) — the packed dataset is device-resident, so no
+    host ever materializes a global *data* batch at all;
+  * the explicit-batch path (``shard_batch``) requires every process to
+    pass the SAME full global host batch (seed-deterministic streams make
+    the reconstruction identical; the selftest hash-checks this) and
+    device_puts only this process's rows via
+    ``jax.make_array_from_process_local_data``;
   * the train step is unchanged: XLA's sharding propagation inserts the
     gradient all-reduce, which rides ICI within a host/slice and the
     host interconnect (gloo over TCP on CPU, DCN on pods) across.
@@ -129,7 +133,7 @@ class MultiHostDataParallel(DataParallel):
             np.ascontiguousarray(idx[:, lo:hi]),
         )
 
-    def compile_eval_step(self, eval_fn):
+    def compile_eval_step(self, eval_fn, params_template=None):
         """Multi-host eval: outputs replicated (the single-host version
         leaves them batch-sharded, which a per-controller device_get
         could not read across processes)."""
@@ -193,7 +197,22 @@ def _selftest(rank: int, nprocs: int, port: int) -> None:
     data = synthetic_bodydata(n_train=64, n_test=8, num_verts=nv, seed=0, n_val=8)
     sg = BatchStream(len(data.disp_train), cfg.batch_size, 0)
     sd = BatchStream(len(data.disp_train), cfg.batch_size, 1)
-    batch = mh.shard_batch(make_gan_batch(data, sg, sd))
+    host_batch = make_gan_batch(data, sg, sd)
+    # the explicit-batch contract: every rank passes the SAME global batch
+    # (module docstring). Verify it really is identical across ranks.
+    import hashlib
+
+    digest = hashlib.sha256(
+        b"".join(np.ascontiguousarray(v).tobytes() for v in
+                 (host_batch[k] for k in sorted(host_batch)))
+    ).hexdigest()
+    from jax.experimental import multihost_utils
+
+    digests = multihost_utils.process_allgather(
+        np.frombuffer(bytes.fromhex(digest)[:8], dtype=np.int64)
+    )
+    assert np.all(digests == digests[0]), "global batch differs across ranks"
+    batch = mh.shard_batch(host_batch)
 
     step_fn = mh.compile_train_step(build_train_step(model, cfg, tx))
     state = mh.replicate(create_train_state(params, tx))

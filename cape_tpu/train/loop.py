@@ -64,14 +64,25 @@ class Trainer:
         self.num_steps = cfg.num_epochs * self.steps_per_epoch
 
         self.tx, self.sched_g, self.sched_d = build_optimizer(cfg, self.steps_per_epoch)
+        # shape-only TrainState template (no device compute): tensor-
+        # parallel modes (parallel.mesh2d.MeshParallel) derive per-leaf
+        # param shardings from it; DataParallel ignores it. Passing ctx as
+        # an eval_shape argument (not a closure) keeps the big banded
+        # blocks out of any traced constant.
+        state_template = jax.eval_shape(
+            lambda r, c: create_train_state(model.init_params(r, c), self.tx),
+            jax.random.PRNGKey(0), ctx,
+        )
         # K steps scanned per dispatch: each device dispatch + sync fetch
         # covers cfg.steps_per_dispatch full GAN steps (see
         # train.step.build_multi_train_step; ~1.45x wall-clock on the
         # remote-attached chip, docs/PERF.md)
         self.multi_jit = self.dp.compile_multi_train_step(
-            build_multi_train_step(model, cfg, self.tx)
+            build_multi_train_step(model, cfg, self.tx), state_template
         )
-        self.eval_jit = self.dp.compile_eval_step(build_eval_step(model, cfg))
+        self.eval_jit = self.dp.compile_eval_step(
+            build_eval_step(model, cfg), state_template.params
+        )
         self.ctx = self.dp.replicate(ctx)
         # the packed train arrays live in HBM for the whole run; per-step
         # host traffic is just two [batch] int32 index vectors
@@ -105,8 +116,32 @@ class Trainer:
             exc, self._ckpt_exc = self._ckpt_exc, None
             raise exc
 
+    def _join_ckpt_all_ranks(self):
+        """Join the previous async write and propagate its health to every
+        process BEFORE the next collective: without this, a write failure
+        raises only on the lead (at its next join) while non-lead ranks
+        proceed into the next epoch's collective train step and hang.
+        Called by ALL ranks at each save point (lead-only writes)."""
+        err: BaseException | None = None
+        if self.lead:
+            try:
+                self._join_ckpt()
+            except BaseException as e:
+                err = e
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            ok = multihost_utils.broadcast_one_to_all(
+                np.int32(0 if err is not None else 1)
+            )
+            if err is None and not bool(int(ok)):
+                raise RuntimeError("checkpoint write failed on the lead process")
+        if err is not None:
+            raise err
+
     def _save_ckpt_async(self, state, step: int):
-        self._join_ckpt()
+        """Lead-only body; every rank must call _join_ckpt_all_ranks first
+        (the Trainer.fit epoch-end path does)."""
         if self._snap_jit is None:
             self._snap_jit = jax.jit(
                 lambda s: jax.tree_util.tree_map(jnp.copy, s)
@@ -162,7 +197,9 @@ class Trainer:
             if latest is not None:
                 state = ckpt.restore_checkpoint(latest, jax.device_get(state))
                 print(f"resumed from {latest} at step {int(state.step)}", flush=True)
-        return self.dp.replicate(state)
+        # one placement seam for every mode: replication under DP,
+        # tensor-parallel param shardings under MeshParallel
+        return self.dp.shard_state(state)
 
     # ------------------------------------------------------------------
     def fit(self, seed: int | None = None):
@@ -204,7 +241,11 @@ class Trainer:
             # the first (warm) chunk, until >= cfg.profile_steps steps are
             # covered (SURVEY §5: the profiling story replacing the
             # reference's TensorBoard-only observability); xprof-viewable
-            if self.lead and cfg.profile_steps and not profiling and 0 < done_in_run and profiled_steps < cfg.profile_steps:
+            # start after the first (warm) chunk — unless the whole run fits
+            # in one chunk, in which case capture that chunk (cold compile
+            # and all) rather than silently never starting
+            may_start = 0 < done_in_run or self.num_steps <= k
+            if self.lead and cfg.profile_steps and not profiling and may_start and profiled_steps < cfg.profile_steps:
                 try:
                     jax.profiler.start_trace(os.path.join(self.run_dir, "profile"))
                     profiling = True
@@ -259,11 +300,13 @@ class Trainer:
                 t_in_steps, steps_done = 0.0, 0
                 if self.lead:
                     logger.log(step - 1, m, echo=True)
+                self._join_ckpt_all_ranks()   # surfaces prior write errors
+                if self.lead:
                     self._save_ckpt_async(state, step)
 
         if profiling:
             jax.profiler.stop_trace()
-        self._join_ckpt()               # final checkpoint fully on disk
+        self._join_ckpt_all_ranks()     # final checkpoint fully on disk
         logger.close()
         t_step = (time.time() - t_start) / max(self.num_steps, 1)
         self.state = state

@@ -249,3 +249,62 @@ def test_multihost_two_process(mode):
         # 2 epochs to step 6, phase 2 resumes from the lead-broadcast
         # checkpoint and adds 1 epoch -> step 9
         assert recs[0]["resume_end_step"] == 9, recs[0]
+
+
+@pytest.mark.slow
+def test_trainer_fit_on_2d_mesh(tmp_path):
+    """Trainer drives a 4x2 (data x model) MeshParallel end-to-end: fit
+    with tensor-parallel param shardings, per-epoch eval, checkpointing,
+    and resume. Must match the same schedule under plain DataParallel
+    (GSPMD partitioning is semantics-preserving)."""
+    from cape_tpu.core.config import CAPEConfig
+    from cape_tpu.data.synthetic import synthetic_bodydata
+    from cape_tpu.meshops.pyramid import build_pyramid
+    from cape_tpu.meshops.topology import vertices_per_edge
+    from cape_tpu.meshops.toy import icosphere
+    from cape_tpu.models.cape import CAPE
+    from cape_tpu.ops.sparse import build_graph_context
+    from cape_tpu.train.loop import Trainer
+
+    verts, faces = icosphere(3)
+    nv = len(verts)
+    base = CAPEConfig(
+        name="tp_trainer", nf=4, nz=8, nz_cond=8, nz_cond2=4,
+        use_res_block=False, use_res_block_dec=True, affine=True,
+        reduce_dim=8, batch_size=8, num_epochs=2, steps_per_dispatch=3,
+    )
+    pyr = build_pyramid(verts, faces, base.ds_factors)
+    pyr_d = build_pyramid(verts, faces, [2, 2, 2, 2])
+    ctx = build_graph_context(pyr, pyr_d, vertices_per_edge(faces, nv), verts)
+    data = synthetic_bodydata(n_train=40, n_test=8, num_verts=nv, seed=0, n_val=8)
+    model = CAPE(base)
+
+    mp = MeshParallel(4, 2)
+    t_tp = Trainer(base, model, ctx, data, workdir=str(tmp_path / "tp"), dp=mp)
+    val_tp, _ = t_tp.fit()
+    assert val_tp[-1] < val_tp[0], f"no improvement on 2-D mesh: {val_tp}"
+    # device_get of the tensor-parallel-sharded state must reassemble the
+    # full host tree (checkpointing relies on this)
+    params_tp = jax.device_get(t_tp.state.params)
+
+    t_dp = Trainer(base, model, ctx, data, workdir=str(tmp_path / "dp"),
+                   dp=DataParallel(8))
+    val_dp, _ = t_dp.fit()
+    params_dp = jax.device_get(t_dp.state.params)
+
+    np.testing.assert_allclose(val_tp, val_dp, rtol=1e-4, atol=1e-5)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(params_tp)[0],
+        jax.tree_util.tree_flatten_with_path(params_dp)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+
+    # resume continues on the 2-D mesh from the checkpoint
+    cfg2 = base.replace(restart=False, num_epochs=1)
+    t_tp2 = Trainer(cfg2, model, ctx, data, workdir=str(tmp_path / "tp"),
+                    dp=MeshParallel(4, 2))
+    t_tp2.fit()
+    assert int(jax.device_get(t_tp2.state.step)) == t_tp.num_steps + t_tp2.num_steps
