@@ -122,26 +122,43 @@ class BodyData:
 
 
 class BatchStream:
-    """Epoch-permuted minibatch index stream (lib/models.py:872-884)."""
+    """Epoch-permuted minibatch index stream (lib/models.py:872-884).
+
+    Each epoch's permutation is derived independently from (seed, epoch)
+    — not drawn from one sequential generator — so a resume fast-forward
+    is O(1) position arithmetic instead of replaying every draw (a resume
+    at step 100k previously re-ran 100k host-side permutation draws). The
+    stream is a pure function of (seed, position): chunked, skipped, and
+    sequential consumption all see the identical index sequence (tested)."""
 
     def __init__(self, n: int, batch_size: int, seed: int = 0):
         self.n = n
         self.batch_size = batch_size
-        self.rng = np.random.default_rng(seed)
-        self._queue: list[int] = []
+        self.seed = seed
+        self._pos = 0                    # items consumed so far
+        self._cached: tuple[int, np.ndarray | None] = (-1, None)
+
+    def _perm(self, epoch: int) -> np.ndarray:
+        if self._cached[0] != epoch:
+            perm = np.random.default_rng((self.seed, epoch)).permutation(self.n)
+            self._cached = (epoch, perm)
+        return self._cached[1]
 
     def next_indices(self) -> np.ndarray:
-        while len(self._queue) < self.batch_size:
-            self._queue.extend(self.rng.permutation(self.n).tolist())
-        idx, self._queue = self._queue[: self.batch_size], self._queue[self.batch_size:]
-        return np.asarray(idx)
+        out = np.empty(self.batch_size, dtype=np.int64)
+        got = 0
+        while got < self.batch_size:
+            epoch, off = divmod(self._pos, self.n)
+            take = min(self.batch_size - got, self.n - off)
+            out[got : got + take] = self._perm(epoch)[off : off + take]
+            got += take
+            self._pos += take
+        return out
 
     def skip(self, n_batches: int) -> None:
-        """Fast-forward past n_batches (checkpoint resume: replays the
-        stream to where the interrupted run left off, so resumed training
-        sees exactly the batches a never-interrupted run would)."""
-        for _ in range(n_batches):
-            self.next_indices()
+        """O(1) fast-forward past n_batches (checkpoint resume: positions
+        the stream exactly where an uninterrupted run would be)."""
+        self._pos += n_batches * self.batch_size
 
 
 def make_gan_batch(data: BodyData, stream_g: BatchStream, stream_d: BatchStream) -> dict:

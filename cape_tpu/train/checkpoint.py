@@ -43,6 +43,15 @@ def save_checkpoint(ckpt_dir: str, tree, step: int, keep: int = 5) -> str:
     half-written file, even if the writer (possibly the Trainer's async
     checkpoint worker) dies mid-save."""
     os.makedirs(ckpt_dir, exist_ok=True)
+    # sweep tmp orphans from writers that died between savez and replace —
+    # the keep-pruning below only matches final names, so without this,
+    # multi-hundred-MB .tmp files would accumulate across crashed runs
+    for stale in os.listdir(ckpt_dir):
+        if re.fullmatch(r"\.tmp_ckpt_\d+\.npz", stale):
+            try:
+                os.remove(os.path.join(ckpt_dir, stale))
+            except OSError:
+                pass
     path = os.path.join(ckpt_dir, f"ckpt_{step:010d}.npz")
     tmp = os.path.join(ckpt_dir, f".tmp_ckpt_{step:010d}.npz")
     np.savez(tmp, **flatten_tree(tree))

@@ -105,3 +105,35 @@ def test_fit_gmm_recovers_two_clusters():
     means = np.sort(np.asarray(gmm.means)[:, 0])
     np.testing.assert_allclose(means, [-3, 3], atol=0.3)
     np.testing.assert_allclose(np.asarray(gmm.weights), [0.5, 0.5], atol=0.05)
+
+
+def test_batch_stream_skip_is_equivalent_and_o1():
+    """skip(k) lands exactly where k sequential draws would (resume
+    determinism), in O(1): epoch permutations are keyed by (seed, epoch)."""
+    import time
+
+    seq = BatchStream(n=37, batch_size=5, seed=3)
+    drawn = [seq.next_indices() for _ in range(50)]
+
+    jumped = BatchStream(n=37, batch_size=5, seed=3)
+    jumped.skip(17)
+    np.testing.assert_array_equal(jumped.next_indices(), drawn[17])
+    jumped.skip(10)                                    # 17 + 1 + 10 = 28
+    np.testing.assert_array_equal(jumped.next_indices(), drawn[28])
+
+    # O(1): a 10M-batch skip must be instant (was O(steps) replay)
+    big = BatchStream(n=31036, batch_size=16, seed=0)
+    t0 = time.perf_counter()
+    big.skip(10_000_000)
+    assert time.perf_counter() - t0 < 0.1
+    idx = big.next_indices()
+    assert idx.shape == (16,) and idx.min() >= 0 and idx.max() < 31036
+
+
+def test_batch_stream_epoch_boundary_batches():
+    """Batches spanning an epoch boundary stitch two permutations; every
+    epoch still covers each index exactly once."""
+    s = BatchStream(n=10, batch_size=4, seed=1)
+    idx = np.concatenate([s.next_indices() for _ in range(5)])  # 2 epochs
+    assert sorted(idx[:10].tolist()) == list(range(10))
+    assert sorted(idx[10:].tolist()) == list(range(10))
