@@ -35,6 +35,8 @@ def main(argv=None):
     p.add_argument("--name", required=True)
     p.add_argument("--datadir_root", default="data/datasets")
     p.add_argument("--threshold_mm", type=float, default=None)
+    p.add_argument("--workdir", default="results",
+                   help="run root holding <name>/checkpoints")
     args = p.parse_args(argv)
 
     cfg = load_config(args.config, name=args.name)
@@ -54,13 +56,14 @@ def main(argv=None):
 
     model = CAPE(cfg)
     ctx = build_context(cfg)
-    params = restore_params(cfg, model, ctx)
+    params = restore_params(cfg, model, ctx, workdir=args.workdir)
     engine = InferenceEngine(model, ctx, params, cfg.batch_size)
     data = BodyData.from_packed(data_dir, pose_type=cfg.pose_type)
     demo = DemoSuite(
         engine, cfg.name, cfg.dataset, cfg.gender,
         n_sample=cfg.demo_n_sample, save_objs=False,
         smpl_model_folder=cfg.smpl_model_folder,
+        results_root=args.workdir,
     )
     res = demo.test_model(data)
     err_mm = res["euclidean_mean_m"] * 1000.0

@@ -74,6 +74,59 @@ def cheb_to_ours(w_flat: np.ndarray, K: int) -> np.ndarray:
     )
 
 
+def ours_to_tf_cheb(w: np.ndarray) -> np.ndarray:
+    """[K, Fin, Fout] -> reference flat [Fin*K, Fout] (row = fin*K + k)."""
+    K, fin, fout = np.asarray(w).shape
+    return np.ascontiguousarray(np.asarray(w).transpose(1, 0, 2).reshape(fin * K, fout))
+
+
+def synthesize_reference_vars(params: dict, cfg) -> dict:
+    """Inverse of convert() for the affine decoder family: our param tree
+    -> a reference-named TF variable dict (lib/models.py scope names).
+
+    Used by the converter roundtrip tests and the artifact-landing drill
+    (tools.artifact_drill) to exercise the published-checkpoint journey
+    without the license-gated checkpoint archive."""
+    tf = {}
+    tf["condition_pose/fc1/dense/kernel"] = params["cond_pose"]["fc1"]["kernel"]
+    tf["condition_pose/fc1/dense/bias"] = params["cond_pose"]["fc1"]["bias"]
+    tf["condition_pose/fc2/dense/kernel"] = params["cond_pose"]["fc2"]["kernel"]
+    tf["condition_pose/fc2/dense/bias"] = params["cond_pose"]["fc2"]["bias"]
+    tf["condition_clo_label/fc1/dense/kernel"] = params["cond_clo"]["fc1"]["kernel"]
+    tf["condition_clo_label/fc1/dense/bias"] = params["cond_clo"]["fc1"]["bias"]
+
+    enc = params["generator"]["encoder"]
+    for i in range(cfg.num_conv_layers):
+        s = f"generator/encoder/encoder_conv{i + 1}"
+        tf[f"{s}/weights"] = ours_to_tf_cheb(np.asarray(enc[f"layer{i}"]["w"]))
+        tf[f"{s}/bias"] = np.asarray(enc[f"layer{i}"]["b"]).reshape(1, 1, -1)
+    tf["generator/encoder/1x1-conv/weights"] = ours_to_tf_cheb(np.asarray(enc["reduce"]["w"]))
+    for head in ("fc_mean", "fc_var"):
+        tf[f"generator/encoder/{head}/dense/kernel"] = enc[head]["kernel"]
+        tf[f"generator/encoder/{head}/dense/bias"] = enc[head]["bias"]
+
+    dec = params["generator"]["decoder"]
+    tf["generator/decoder/fc1/dense/kernel"] = dec["fc1"]["kernel"]
+    tf["generator/decoder/fc1/dense/bias"] = dec["fc1"]["bias"]
+    tf["generator/decoder/1x1-conv/weights"] = ours_to_tf_cheb(np.asarray(dec["expand"]["w"]))
+    for i in range(cfg.num_conv_layers):
+        s = f"generator/decoder/decoder_resblock_affine{i + 1}"
+        tf[f"{s}/graph_conv/weights"] = ours_to_tf_cheb(np.asarray(dec[f"layer{i}"]["conv"]["w"]))
+        tf[f"{s}/affine/weights"] = ours_to_tf_cheb(np.asarray(dec[f"layer{i}"]["affine"]["w"]))
+    tf["generator/decoder/outputs/weights"] = ours_to_tf_cheb(np.asarray(dec["out"]["w"]))
+    tf["generator/decoder/outputs/bias"] = np.asarray(dec["out"]["b"])[None]
+
+    disc = params["discriminator"]
+    i = 0
+    while f"layer{i}" in disc:
+        s = f"discriminator/shared/conv{i + 1}"
+        tf[f"{s}/weights"] = ours_to_tf_cheb(np.asarray(disc[f"layer{i}"]["w"]))
+        tf[f"{s}/bias"] = np.asarray(disc[f"layer{i}"]["b"]).reshape(1, 1, -1)
+        i += 1
+    tf["discriminator/prediction_map/weights"] = ours_to_tf_cheb(np.asarray(disc["pred"]["w"]))
+    return {k: np.asarray(v) for k, v in tf.items()}
+
+
 def _conv(tfvars, scope: str, K: int) -> dict:
     p = {"w": cheb_to_ours(tfvars[f"{scope}/weights"], K)}
     if f"{scope}/bias" in tfvars:

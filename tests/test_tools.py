@@ -10,7 +10,13 @@ from cape_tpu.core.config import CAPEConfig
 from cape_tpu.meshops import assets
 from cape_tpu.models.cape import CAPE
 from cape_tpu.ops.sparse import build_graph_context
-from cape_tpu.tools.tf_ckpt_converter import cheb_to_ours, convert, verify_against_template
+from cape_tpu.tools.tf_ckpt_converter import (
+    cheb_to_ours,
+    convert,
+    ours_to_tf_cheb,
+    synthesize_reference_vars,
+    verify_against_template,
+)
 
 
 @pytest.fixture(scope="module")
@@ -22,58 +28,15 @@ def ctx():
     )
 
 
-def ours_to_tf_cheb(w: np.ndarray) -> np.ndarray:
-    """[K, Fin, Fout] -> reference flat [Fin*K, Fout] (row = fin*K + k)."""
-    K, fin, fout = w.shape
-    return np.ascontiguousarray(w.transpose(1, 0, 2).reshape(fin * K, fout))
+# ours_to_tf_cheb / synthesize_reference_vars moved into the converter
+# module (shared with tools.artifact_drill); re-exported above.
+_synthesize_tfvars = synthesize_reference_vars
 
 
 def test_cheb_layout_roundtrip():
     rng = np.random.default_rng(0)
     w = rng.standard_normal((3, 5, 7))
     np.testing.assert_array_equal(cheb_to_ours(ours_to_tf_cheb(w), 3), w)
-
-
-def _synthesize_tfvars(params: dict, cfg: CAPEConfig) -> dict:
-    """Inverse of the converter's mapping: our tree -> TF-named variables."""
-    tf = {}
-    tf["condition_pose/fc1/dense/kernel"] = params["cond_pose"]["fc1"]["kernel"]
-    tf["condition_pose/fc1/dense/bias"] = params["cond_pose"]["fc1"]["bias"]
-    tf["condition_pose/fc2/dense/kernel"] = params["cond_pose"]["fc2"]["kernel"]
-    tf["condition_pose/fc2/dense/bias"] = params["cond_pose"]["fc2"]["bias"]
-    tf["condition_clo_label/fc1/dense/kernel"] = params["cond_clo"]["fc1"]["kernel"]
-    tf["condition_clo_label/fc1/dense/bias"] = params["cond_clo"]["fc1"]["bias"]
-
-    enc = params["generator"]["encoder"]
-    for i in range(cfg.num_conv_layers):
-        s = f"generator/encoder/encoder_conv{i + 1}"
-        tf[f"{s}/weights"] = ours_to_tf_cheb(np.asarray(enc[f"layer{i}"]["w"]))
-        tf[f"{s}/bias"] = np.asarray(enc[f"layer{i}"]["b"]).reshape(1, 1, -1)
-    tf["generator/encoder/1x1-conv/weights"] = ours_to_tf_cheb(np.asarray(enc["reduce"]["w"]))
-    for head in ("fc_mean", "fc_var"):
-        tf[f"generator/encoder/{head}/dense/kernel"] = enc[head]["kernel"]
-        tf[f"generator/encoder/{head}/dense/bias"] = enc[head]["bias"]
-
-    dec = params["generator"]["decoder"]
-    tf["generator/decoder/fc1/dense/kernel"] = dec["fc1"]["kernel"]
-    tf["generator/decoder/fc1/dense/bias"] = dec["fc1"]["bias"]
-    tf["generator/decoder/1x1-conv/weights"] = ours_to_tf_cheb(np.asarray(dec["expand"]["w"]))
-    for i in range(cfg.num_conv_layers):
-        s = f"generator/decoder/decoder_resblock_affine{i + 1}"
-        tf[f"{s}/graph_conv/weights"] = ours_to_tf_cheb(np.asarray(dec[f"layer{i}"]["conv"]["w"]))
-        tf[f"{s}/affine/weights"] = ours_to_tf_cheb(np.asarray(dec[f"layer{i}"]["affine"]["w"]))
-    tf["generator/decoder/outputs/weights"] = ours_to_tf_cheb(np.asarray(dec["out"]["w"]))
-    tf["generator/decoder/outputs/bias"] = np.asarray(dec["out"]["b"])[None]
-
-    disc = params["discriminator"]
-    i = 0
-    while f"layer{i}" in disc:
-        s = f"discriminator/shared/conv{i + 1}"
-        tf[f"{s}/weights"] = ours_to_tf_cheb(np.asarray(disc[f"layer{i}"]["w"]))
-        tf[f"{s}/bias"] = np.asarray(disc[f"layer{i}"]["b"]).reshape(1, 1, -1)
-        i += 1
-    tf["discriminator/prediction_map/weights"] = ours_to_tf_cheb(np.asarray(disc["pred"]["w"]))
-    return {k: np.asarray(v) for k, v in tf.items()}
 
 
 def test_convert_roundtrip_flagship(ctx):
@@ -163,3 +126,23 @@ def test_converted_npz_drives_simple_demo_cli(ctx, tmp_path):
 
     v, _ = load_obj(str(out_dir / objs[0]))
     assert np.all(np.isfinite(v)) and 0.1 < np.ptp(v) < 10.0
+
+
+@pytest.mark.slow
+def test_artifact_drill_end_to_end(tmp_path):
+    """The artifact-landing drill (tools.artifact_drill): pack -> train ->
+    acceptance -> convert -> demo, chained on synthetic stand-ins. Proves
+    each stage hands off to the next so the same invocation works the day
+    the license-gated artifacts land (docs/ROADMAP.md)."""
+    import json
+
+    from cape_tpu.tools.artifact_drill import main as drill_main
+
+    drill_main(["--workdir", str(tmp_path / "drill")])
+    # every stage's artifact exists
+    root = tmp_path / "drill"
+    assert (root / "datasets").is_dir()
+    assert (root / "drill_run" / "checkpoints").is_dir()
+    assert (root / "converted_params.npz").is_file()
+    objs = list((root / "demo_results").rglob("*.obj"))
+    assert objs
