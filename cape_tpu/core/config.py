@@ -76,7 +76,12 @@ class CAPEConfig:
     # ---- TPU-native extensions (no reference counterpart) ----
     compute_dtype: str = "float32"         # float32 | bfloat16 compute path
     op_mode: str = "banded"                # banded | ell | dense graph ops
-    remat: bool = False                    # jax.checkpoint each block (large batches)
+    # jax.checkpoint each block. Measured a LOSS at every batch tried on
+    # v5e (bf16 batch 64: 80 -> 106 ms; batch 128: 226 -> 293 ms, round 3,
+    # docs/PERF.md) — the recompute costs more than the saved activation
+    # traffic at these model sizes. Kept as an escape hatch for meshes /
+    # channel plans that genuinely exceed HBM.
+    remat: bool = False
     fold_conditions: bool = True           # algebraic condition folding (exact)
     data_parallel: int = 0                 # 0 = use all local devices
     # train steps scanned per device dispatch: one dispatch + one sync

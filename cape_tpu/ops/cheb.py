@@ -174,6 +174,11 @@ def cheb_conv_folded(
         if cond_seed is None
         else cond_seed.astype(x.dtype)
     )
+    # Per-(cond, k) rank-1 updates. A batched two-einsum form ("kdf" proj +
+    # "kv,kbf->bvf" broadcast) was measured round 3 and is NOT faster
+    # (same-session A/B 11.05 vs 11.34 ms mean at batch 16): these rank-1
+    # adds fuse into the surrounding elementwise work, while the stacked
+    # einsum materializes. Keep the loop.
     seed_basis = cheb_basis(seed, lap, K)        # K x [V, 1]
     off = fx
     for c in conds:

@@ -179,7 +179,10 @@ def _selftest(rank: int, nprocs: int, port: int) -> None:
     )
     pyr = build_pyramid(verts, faces, cfg.ds_factors)
     pyr_d = build_pyramid(verts, faces, [2, 2, 2, 2])
-    ctx = build_graph_context(pyr, pyr_d, vertices_per_edge(faces, nv), verts)
+    ctx = build_graph_context(
+        pyr, pyr_d, vertices_per_edge(faces, nv), verts,
+        padded=cfg.padded_layout,   # production layout
+    )
 
     model = CAPE(cfg)
     # host-resident copies: multi-process device_put to a GLOBAL sharding
@@ -255,7 +258,10 @@ def _selftest_trainer(rank: int, nprocs: int, port: int) -> None:
     )
     pyr = build_pyramid(verts, faces, cfg.ds_factors)
     pyr_d = build_pyramid(verts, faces, [2, 2, 2, 2])
-    ctx = build_graph_context(pyr, pyr_d, vertices_per_edge(faces, nv), verts)
+    ctx = build_graph_context(
+        pyr, pyr_d, vertices_per_edge(faces, nv), verts,
+        padded=cfg.padded_layout,   # production layout
+    )
     # 64 - 16 val = 48 train rows -> 3 steps/epoch at global batch 16
     data = synthetic_bodydata(n_train=64, n_test=8, num_verts=nv, seed=0, n_val=16)
 
