@@ -153,6 +153,10 @@ class CAPEConfig:
 _BOOL_FIELDS = {
     "restart", "use_res_block", "use_res_block_dec", "cond_encoder", "affine",
     "optim_condnet", "lr_warmup", "save_obj", "vis_demo",
+    # TPU-native extension bools: without membership here the CLI parses
+    # them with type=bool, where bool("0") is True and a flag can never be
+    # turned off from the command line
+    "remat", "fold_conditions", "use_pallas", "padded_layout",
 }
 
 

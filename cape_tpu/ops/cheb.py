@@ -94,12 +94,14 @@ def cheb_conv(x: jnp.ndarray, lap, weight: jnp.ndarray) -> jnp.ndarray:
         from cape_tpu.ops import pallas as pallas_cfg
         from cape_tpu.ops.banded import BandedOp
 
-        if (
-            isinstance(lap, BandedOp)
-            and lap.pallas_eligible
-            and lap.allow_pallas       # cfg.use_pallas via build_graph_context
-            and not pallas_cfg.killed()  # CAPE_TPU_PALLAS=0 global kill switch
-        ):
+        # cfg.use_pallas (per-op allow_pallas) decides; CAPE_TPU_PALLAS
+        # overrides in BOTH directions (0 = kill switch, 1 = force on)
+        if isinstance(lap, BandedOp) and lap.pallas_eligible:
+            env = pallas_cfg.override()
+            allow = lap.allow_pallas if env is None else env
+        else:
+            allow = False
+        if allow:
             # large-batch auto path: on by default past the measured
             # thresholds (the v2 experiment below stays opt-in)
             if (

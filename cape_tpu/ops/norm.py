@@ -37,10 +37,16 @@ def group_norm(
         mean = jnp.mean(xg, axis=(2, 3), keepdims=True)
         var = jnp.var(xg, axis=(2, 3), keepdims=True)
     else:
-        mask = (jnp.arange(V) < n_valid).astype(xg.dtype)
+        # jnp.where, not multiply-by-mask: tail rows may hold ARBITRARY
+        # values incl. inf/NaN (padded-op contract), and inf*0 = NaN would
+        # poison the statistics of the valid rows
+        mask = jnp.arange(V) < n_valid
         n = n_valid * (C // G)
-        mean = jnp.sum(xg * mask, axis=(2, 3), keepdims=True) / n
-        var = jnp.sum(jnp.square((xg - mean) * mask), axis=(2, 3), keepdims=True) / n
+        xm = jnp.where(mask, xg, 0)
+        mean = jnp.sum(xm, axis=(2, 3), keepdims=True) / n
+        var = jnp.sum(
+            jnp.where(mask, jnp.square(xg - mean), 0), axis=(2, 3), keepdims=True
+        ) / n
     xg = (xg - mean) * jax.lax.rsqrt(var + eps)
     out = xg.reshape(B, C, V) * gamma.astype(x.dtype)[None, :, None] + beta.astype(x.dtype)[None, :, None]
     return jnp.transpose(out, (0, 2, 1))
@@ -62,10 +68,13 @@ def batch_norm(
         mean = jnp.mean(x, axis=(0, 1), keepdims=True)
         var = jnp.var(x, axis=(0, 1), keepdims=True)
     else:
-        mask = (jnp.arange(V) < n_valid).astype(x.dtype)[None, :, None]
+        mask = (jnp.arange(V) < n_valid)[None, :, None]
         n = B * n_valid
-        mean = jnp.sum(x * mask, axis=(0, 1), keepdims=True) / n
-        var = jnp.sum(jnp.square((x - mean) * mask), axis=(0, 1), keepdims=True) / n
+        xm = jnp.where(mask, x, 0)
+        mean = jnp.sum(xm, axis=(0, 1), keepdims=True) / n
+        var = jnp.sum(
+            jnp.where(mask, jnp.square(x - mean), 0), axis=(0, 1), keepdims=True
+        ) / n
     xn = (x - mean) * jax.lax.rsqrt(var + eps)
     return xn * gamma.astype(x.dtype) + beta.astype(x.dtype)
 

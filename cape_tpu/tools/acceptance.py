@@ -37,9 +37,12 @@ def main(argv=None):
     p.add_argument("--threshold_mm", type=float, default=None)
     p.add_argument("--workdir", default="results",
                    help="run root holding <name>/checkpoints")
+    p.add_argument("--gender", default=None,
+                   help="override the config's gender (selects the "
+                        "per-gender default threshold)")
     args = p.parse_args(argv)
 
-    cfg = load_config(args.config, name=args.name)
+    cfg = load_config(args.config, name=args.name, gender=args.gender)
     data_dir = os.path.join(args.datadir_root, cfg.dataset)
     if not os.path.isdir(data_dir):
         print(

@@ -139,6 +139,7 @@ def main(argv=None) -> None:
     accept_args = [
         "--config", args.config, "--name", name,
         "--datadir_root", datadir_root, "--workdir", workdir,
+        "--gender", args.gender,   # threshold selection must match training
     ]
     if args.threshold_mm is not None:
         accept_args += ["--threshold_mm", str(args.threshold_mm)]

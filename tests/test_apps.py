@@ -246,3 +246,18 @@ def test_viewer_export_roundtrip(small_mesh, tmp_path):
     got_f = np.frombuffer(base64.b64decode(m.group(1)), "<u4").reshape(-1, 3)
     np.testing.assert_array_equal(got_f, faces.astype(np.uint32))
     assert json.dumps(["a", "b"]) in html
+
+
+def test_cli_can_disable_extension_bools():
+    """The TPU-extension booleans must be settable to False from the CLI
+    (type=bool would make bool('0') True and the flags un-disablable)."""
+    from cape_tpu.core.config import parse_cli
+
+    cfg = parse_cli([
+        "--name", "t", "--padded_layout", "0", "--use_pallas", "false",
+        "--remat", "1", "--fold_conditions", "0",
+    ])
+    assert cfg.padded_layout is False
+    assert cfg.use_pallas is False
+    assert cfg.remat is True
+    assert cfg.fold_conditions is False

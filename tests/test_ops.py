@@ -525,6 +525,14 @@ def test_use_pallas_false_forces_xla_path(small_mesh):
             assert not calls, "v3 selected despite CAPE_TPU_PALLAS=0"
         finally:
             del os.environ["CAPE_TPU_PALLAS"]
+
+        calls.clear()
+        os.environ["CAPE_TPU_PALLAS"] = "1"       # force-on overrides config
+        try:
+            cheb_conv(x, op, W)                   # allow_pallas=False
+            assert calls, "CAPE_TPU_PALLAS=1 did not override use_pallas=False"
+        finally:
+            del os.environ["CAPE_TPU_PALLAS"]
     finally:
         cheb_mod.VM_MIN_COLS, cheb_mod.VM_MIN_BATCH = orig
         ck.cheb2_banded_pallas_v3 = real_v3
@@ -572,3 +580,28 @@ def test_pallas_v3_padded_matches_natural(small_mesh):
         )
     finally:
         cheb_mod.VM_MIN_COLS, cheb_mod.VM_MIN_BATCH = orig
+
+
+def test_masked_norm_stats_nan_safe():
+    """Tail rows may hold ARBITRARY values incl. inf/NaN (padded-op
+    contract); masked statistics must not be poisoned by them."""
+    from cape_tpu.ops.norm import batch_norm, group_norm
+
+    rng = np.random.default_rng(2)
+    V, P, C = 20, 32, 8
+    x = jnp.asarray(rng.standard_normal((2, V, C)), jnp.float32)
+    bad = jnp.full((2, P - V, C), jnp.nan, jnp.float32)
+    bad = bad.at[0, 0, 0].set(jnp.inf)
+    xp = jnp.concatenate([x, bad], axis=1)
+    gamma = jnp.ones(C)
+    beta = jnp.zeros(C)
+
+    g = np.asarray(group_norm(xp, gamma, beta, num_groups=4, n_valid=V))
+    want = np.asarray(group_norm(x, gamma, beta, num_groups=4))
+    assert np.all(np.isfinite(g[:, :V]))
+    np.testing.assert_allclose(g[:, :V], want, rtol=1e-4, atol=1e-5)
+
+    b = np.asarray(batch_norm(xp, gamma, beta, n_valid=V))
+    want_b = np.asarray(batch_norm(x, gamma, beta))
+    assert np.all(np.isfinite(b[:, :V]))
+    np.testing.assert_allclose(b[:, :V], want_b, rtol=1e-4, atol=1e-5)
