@@ -141,6 +141,25 @@ class DataParallel:
             out_shardings=(self.batch_sharding, self.batch_sharding),
         )
 
+    def compile_multi_eval_step(self, multi_eval_fn, params_template: Any = None):
+        """Scanned eval: every batch of a device-resident split in one
+        dispatch (train.step.build_multi_eval_step). The [nb, B] index
+        array and the stacked [nb, B] per-sample metrics both shard the
+        batch axis; params_template is part of the shared parallelism
+        seam (used by MeshParallel)."""
+        idx_sharding = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        return jax.jit(
+            multi_eval_fn,
+            in_shardings=(
+                self.replicated,            # params
+                self.replicated,            # graph context
+                self.replicated,            # resident split
+                idx_sharding,               # idx [nb, B]
+                self.replicated,            # rng
+            ),
+            out_shardings=idx_sharding,
+        )
+
     def pad_batch_size(self, global_batch: int) -> int:
         """Round a global batch up to a multiple of the mesh size."""
         n = self.num_devices

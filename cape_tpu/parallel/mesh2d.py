@@ -157,3 +157,19 @@ class MeshParallel:
             in_shardings=(ps, self.replicated, self.batch_sharding, self.replicated),
             out_shardings=(self.batch_sharding, self.batch_sharding),
         )
+
+    def compile_multi_eval_step(self, multi_eval_fn, params_template: Any):
+        """Scanned one-dispatch eval (train.step.build_multi_eval_step)
+        with tensor-parallel param shardings; the [nb, B] index array and
+        stacked metrics shard the batch axis over DATA_AXIS."""
+        ps = jax.tree_util.tree_map(
+            lambda x: NamedSharding(self.mesh, self._leaf_spec(x)), params_template
+        )
+        idx_sharding = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        return jax.jit(
+            multi_eval_fn,
+            in_shardings=(
+                ps, self.replicated, self.replicated, idx_sharding, self.replicated,
+            ),
+            out_shardings=idx_sharding,
+        )

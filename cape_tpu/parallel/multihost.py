@@ -148,6 +148,28 @@ class MultiHostDataParallel(DataParallel):
             out_shardings=(self.replicated, self.replicated),
         )
 
+    def compile_multi_eval_step(self, multi_eval_fn, params_template=None):
+        """Scanned one-dispatch eval over the global mesh: index chunks
+        arrive via shard_index_chunk ([nb, B], batch axis sharded across
+        processes), metrics come back REPLICATED so every controller's
+        device_get can read them (same reason as compile_eval_step)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from cape_tpu.parallel.mesh import DATA_AXIS
+
+        idx_sharding = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        return jax.jit(
+            multi_eval_fn,
+            in_shardings=(
+                self.replicated,
+                self.replicated,
+                self.replicated,
+                idx_sharding,
+                self.replicated,
+            ),
+            out_shardings=self.replicated,
+        )
+
 
 # ----------------------------------------------------------------- selftest
 def _selftest(rank: int, nprocs: int, port: int) -> None:

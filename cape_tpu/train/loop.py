@@ -27,7 +27,11 @@ from cape_tpu.parallel.mesh import DataParallel
 from cape_tpu.train import checkpoint as ckpt
 from cape_tpu.train.metrics import MetricsLogger
 from cape_tpu.train.optim import build_optimizer, create_train_state
-from cape_tpu.train.step import build_eval_step, build_multi_train_step
+from cape_tpu.train.step import (
+    build_eval_step,
+    build_multi_eval_step,
+    build_multi_train_step,
+)
 
 
 class Trainer:
@@ -83,6 +87,13 @@ class Trainer:
         self.eval_jit = self.dp.compile_eval_step(
             build_eval_step(model, cfg), state_template.params
         )
+        # all of a split's eval batches scanned in ONE dispatch (one sync
+        # round-trip per eval instead of one per batch; see
+        # train.step.build_multi_eval_step)
+        self.multi_eval_jit = self.dp.compile_multi_eval_step(
+            build_multi_eval_step(model, cfg), state_template.params
+        )
+        self._eval_split_dev: dict[str, tuple] = {}
         self.ctx = self.dp.replicate(ctx)
         # the packed train arrays live in HBM for the whole run; per-step
         # host traffic is just two [batch] int32 index vectors
@@ -313,41 +324,53 @@ class Trainer:
         return val_losses, t_step
 
     # ------------------------------------------------------------------
+    def _split_on_device(self, split: str):
+        """Device-resident copy of an eval split (RCM device order).
+        'val' is the per-epoch hot path and stays resident for the run;
+        other splits are uploaded per call and released after."""
+        cached = self._eval_split_dev.get(split)
+        if cached is not None:
+            return cached
+        disp, pose, clo = self.data.split(split)
+        dev = self.dp.replicate(
+            {"disp": self._to_device_order(disp), "pose": pose, "clo": clo}
+        )
+        if split == "val":
+            self._eval_split_dev[split] = (dev, len(disp))
+        return dev, len(disp)
+
     def evaluate(self, split: str = "val", state=None, rng=None) -> dict:
-        """Batched eval over a split. The partial tail batch is padded to
-        the fixed batch size, and since eval_fn returns per-sample loss
-        vectors, only the real rows enter the averages — the pad rows'
-        garbage losses are discarded exactly (fixes the reference's
+        """Batched eval over a split, scanned in ONE device dispatch
+        (train.step.build_multi_eval_step). The partial tail batch is
+        padded to the fixed batch size — pad index entries are out of
+        range and gather zero rows — and since eval_fn returns per-sample
+        loss vectors, only the real rows enter the averages: the pad
+        rows' garbage losses are discarded exactly (fixes the reference's
         dropped-tail-batch quirk, lib/models.py:1083-1088, without
-        introducing padding bias)."""
+        introducing padding bias). Only the tail batch is padded, so the
+        real rows are exactly the first n of the flattened [nb*bs]
+        metric vectors."""
         cfg = self.cfg
         state = state if state is not None else getattr(self, "state", None)
         params = state.params if state is not None else None
         if params is None:
             raise ValueError("no trained state available")
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        disp, pose, clo = self.data.split(split)
-        disp = self._to_device_order(disp)
-        n = len(disp)
+        data_dev, n = self._split_on_device(split)
         bs = cfg.batch_size
-        totals: dict[str, float] = {}
-        count = 0
-        for begin in range(0, n, bs):
-            end = min(begin + bs, n)
-            pad = bs - (end - begin)
-            batch = {
-                "disp": np.concatenate([disp[begin:end], np.zeros((pad,) + disp.shape[1:], disp.dtype)]),
-                "pose": np.concatenate([pose[begin:end], np.zeros((pad,) + pose.shape[1:], pose.dtype)]),
-                "clo": np.concatenate([clo[begin:end], np.zeros((pad,) + clo.shape[1:], clo.dtype)]),
-            }
-            batch = self.dp.shard_batch(batch)
-            _, metrics = self.eval_jit(params, self.ctx, batch, jax.random.fold_in(rng, begin))
-            w = end - begin
-            for k, v in jax.device_get(metrics).items():
-                # per-sample vector [bs]; real rows are the first w
-                totals[k] = totals.get(k, 0.0) + float(np.sum(np.asarray(v)[:w]))
-            count += w
-        return {k: v / max(count, 1) for k, v in totals.items()}
+        nb = max((n + bs - 1) // bs, 1)
+        idx = np.full(nb * bs, n, np.int32)  # out-of-range => zero pad rows
+        idx[:n] = np.arange(n, dtype=np.int32)
+        metrics = self.multi_eval_jit(
+            params, self.ctx, data_dev,
+            self.dp.shard_index_chunk(idx.reshape(nb, bs)), rng,
+        )
+        return {
+            # f64 accumulation: the vectors are f32, but a long sum should
+            # not depend on its grouping
+            k: float(np.sum(np.asarray(v, np.float64).reshape(-1)[:n])) / max(n, 1)
+            for k, v in jax.device_get(metrics).items()
+        }
 
     # ------------------------------------------------------------------
     def predict(self, disp, pose, clo, state=None, rng=None) -> np.ndarray:

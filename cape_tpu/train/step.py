@@ -98,6 +98,15 @@ def _gan_losses(model: CAPE, cfg: CAPEConfig, params, ctx: GraphContext, batch, 
     params_d_frozen["discriminator"] = sg(params["discriminator"])
     d_fake_for_g = model.discriminate(params_d_frozen, ctx, x_hat, y_g, y2_g)
 
+    # NOTE measured, rejected (round 3): batching real+fake into ONE
+    # [2B] discriminate call here is semantically exact (no cross-row
+    # coupling in the D blocks) but LOSES ~10% wall (12.13 vs 10.99
+    # ms/step, same-session ABBA): the forward HLO of d_fake_for_d is
+    # byte-identical to d_fake_for_g's (stop_gradient vanishes in the
+    # forward), so XLA CSEs the two fake forwards in THIS form — the
+    # concat form breaks that CSE and pays a third B-wide D forward,
+    # plus 2B=32 crosses the Pallas-v3 routing threshold tuned for the
+    # generator. Keep the two-call form.
     d_real = model.discriminate(params, ctx, batch["disp_d"], sg(y_d), sg(y2_d))
     d_fake_for_d = model.discriminate(params, ctx, sg(x_hat), sg(y_g), sg(y2_g))
 
@@ -213,6 +222,48 @@ def build_multi_train_step(model: CAPE, cfg: CAPEConfig, tx):
     return multi_fn
 
 
+def build_multi_eval_step(model: CAPE, cfg: CAPEConfig):
+    """Every eval batch of a split scanned in ONE dispatch.
+
+    The per-batch eval loop pays one host->device batch upload, one
+    dispatch and one ~29 ms sync fetch PER BATCH through the remote
+    relay — ~4 s/epoch for the 100-sample val split (docs/PERF.md
+    endurance attribution). Here the split is device-resident (like the
+    train set) and `lax.scan` runs all padded batches back-to-back on
+    device; the host ships one [nb, B] int32 index array and fetches one
+    stacked metrics pytree.
+
+    Bit-equivalence with the one-batch-at-a-time path: pad entries of
+    `idx` are OUT OF RANGE (== split length) and gather exact zero rows
+    via `mode='fill'` — the same zero padding the host loop concatenated
+    — and the per-batch rng is folded from the batch's row offset, the
+    same fold the host loop used. The existing padded-tail oracle test
+    therefore pins this path too (tests/test_train.py).
+
+    Returns multi_eval_fn(params, ctx, data, idx [nb, B], rng)
+    -> per-sample metrics, each [nb, B].
+    """
+    eval_fn = build_eval_step(model, cfg)
+
+    def multi_eval_fn(params, ctx: GraphContext, data: dict, idx, rng: jax.Array):
+        bs = idx.shape[1]
+
+        def body(carry, scan_in):
+            ib, begin = scan_in
+            batch = {
+                k: jnp.take(data[k], ib, axis=0, mode="fill", fill_value=0)
+                for k in ("disp", "pose", "clo")
+            }
+            _, metrics = eval_fn(params, ctx, batch, jax.random.fold_in(rng, begin))
+            return carry, metrics
+
+        begins = jnp.arange(idx.shape[0], dtype=jnp.int32) * bs
+        _, metrics = jax.lax.scan(body, 0, (idx, begins))
+        return metrics
+
+    return multi_eval_fn
+
+
 def build_eval_step(model: CAPE, cfg: CAPEConfig):
     """Returns eval_fn(params, ctx, batch, rng) -> (pred, per_sample_metrics).
 
@@ -240,6 +291,11 @@ def build_eval_step(model: CAPE, cfg: CAPEConfig):
             "kl": losses.kl_loss_per_sample(z_mean, z_logvar),
             "edge": losses.edge_loss_per_sample(x_hat, gt, ctx.edge_op),
         }
+        # per-sample metrics leave the step as f32: under bf16 compute the
+        # host-side reduction would otherwise run in numpy bfloat16 and a
+        # 100-element np.sum loses ~1-2% (measured — the scan-vs-loop eval
+        # "disagreement" was exactly this aggregation error, not the paths)
+        metrics = {k: v.astype(jnp.float32) for k, v in metrics.items()}
         return x_hat.astype(jnp.float32), metrics
 
     return eval_fn

@@ -381,3 +381,29 @@ def test_single_backward_matches_stitched_two_player_grads(tiny):
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
             err_msg=f"disc{jax.tree_util.keystr(pa)}",
         )
+
+
+def test_eval_metrics_leave_step_as_f32_under_bf16(tiny):
+    """Regression: per-sample eval metrics must be f32 on the host even
+    under bf16 compute — numpy's bfloat16 np.sum over ~100 samples loses
+    ~1-2% (measured on the flagship val eval; the scan-vs-loop eval
+    'disagreement' was exactly this host aggregation error)."""
+    from cape_tpu.train.step import build_eval_step
+
+    cfg, ctx, data = tiny
+    cfg = cfg.replace(compute_dtype="bfloat16")
+    model = CAPE(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), ctx)
+    disp, pose, clo = data.split("val")
+    bs = cfg.batch_size
+    batch = {
+        "disp": jnp.asarray(disp[:bs]),
+        "pose": jnp.asarray(pose[:bs]),
+        "clo": jnp.asarray(clo[:bs]),
+    }
+    eval_fn = jax.jit(build_eval_step(model, cfg))
+    pred, metrics = eval_fn(params, ctx, batch, jax.random.PRNGKey(0))
+    assert pred.dtype == jnp.float32
+    for k, v in metrics.items():
+        assert v.dtype == jnp.float32, (k, v.dtype)
+        assert v.shape == (bs,), (k, v.shape)
