@@ -10,6 +10,7 @@ groups to amortize the ~29 ms sync round-trip.
   python -m cape_tpu.tools.perf_lab parts    # enc/dec/disc fwd vs fwd+bwd
   python -m cape_tpu.tools.perf_lab step     # full train step at batch/dtype/K
   python -m cape_tpu.tools.perf_lab trace    # device-time attribution by source
+  python -m cape_tpu.tools.perf_lab serve    # decode latency / recon throughput
 """
 
 from __future__ import annotations
@@ -540,6 +541,86 @@ def cmd_step(args):
     }), flush=True)
 
 
+def cmd_serve(args):
+    """Serving-side benchmarks on the flagship config: generation (decode)
+    latency and reconstruction (encode+decode) throughput, batch 1/16/64.
+
+    The reference has no serving path at all (inference re-enters the TF1
+    session loop, lib/models.py:931-1174); these are the numbers a
+    deployment actually cares about. Protocol: chained fori_loop per-op
+    timings (relay floor note on _timed_chained) plus one honest
+    dispatch-inclusive single-call latency — for a remote client the
+    dispatch+sync round-trip IS part of serving latency.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cape_tpu.core.config import CAPEConfig
+    from cape_tpu.data.synthetic import synthetic_bodydata
+    from cape_tpu.models.cape import CAPE
+
+    dtype = args.dtype
+    cfg = CAPEConfig(
+        name="perflab_serve", nz=64, nz_cond=32, nz_cond2=32, nf=64,
+        use_res_block=False, use_res_block_dec=True, affine=True,
+        reduce_dim=64, compute_dtype=dtype, padded_layout=bool(args.padded),
+    )
+    ctx = _flagship_ctx(dtype, padded=cfg.padded_layout)
+    model = CAPE(cfg)
+    params = jax.jit(model.init_params)(jax.random.PRNGKey(0), ctx)
+    # n_train covers the largest batch AFTER the default val carve-out
+    data = synthetic_bodydata(n_train=160, n_test=8, num_verts=6890, seed=0)
+    perm = ctx.vertex_perm
+
+    def gen_step(z, y, y2, p, c):
+        out = model.decode(p, c, jnp.concatenate([z, y, y2], axis=-1), y, y2)
+        # data dependence that cannot be elided; the added full-reduction
+        # is negligible against the decode
+        return z + (jnp.sum(out) * 1e-30).astype(z.dtype)
+
+    def recon_step(x, y, y2, p, c):
+        z_mean, _ = model.encode(p, c, x, y, y2)
+        zt = jnp.concatenate([z_mean, y, y2], axis=-1)
+        return model.decode(p, c, zt, y, y2).astype(x.dtype)
+
+    emb = jax.jit(model.embed_conditions)
+    dec = jax.jit(model.decode)
+    rng = np.random.default_rng(0)
+    for B in (1, 16, 64):
+        disp = data.disp_train[:B] if perm is None else data.disp_train[:B][:, perm]
+        x = jnp.asarray(disp, jnp.float32)
+        y, y2 = emb(params, jnp.asarray(data.pose_train[:B]), jnp.asarray(data.clo_train[:B]))
+        z = jnp.asarray(rng.standard_normal((B, cfg.nz)), jnp.float32)
+
+        decode_ms = _timed_chained(gen_step, z, (y, y2, params, ctx), inner=args.inner)
+        recon_ms = _timed_chained(recon_step, x, (y, y2, params, ctx), inner=args.inner)
+
+        # dispatch-inclusive single-call decode latency (remote serving)
+        zt = jnp.concatenate([z, y, y2], axis=-1)
+        for _ in range(3):
+            out = dec(params, ctx, zt, y, y2)
+        jax.device_get(jnp.sum(out))
+        lats = []
+        for _ in range(16):
+            t0 = time.perf_counter()
+            out = dec(params, ctx, zt, y, y2)
+            jax.device_get(jnp.sum(out))
+            lats.append(time.perf_counter() - t0)
+        lats.sort()
+        call_ms = 1000.0 * lats[len(lats) // 2]
+
+        print(json.dumps({
+            "bench": "serve", "batch": B, "dtype": dtype,
+            "padded": bool(args.padded), "inner": args.inner,
+            "decode_ms_per_call": round(decode_ms, 3),
+            "decode_meshes_per_sec": round(B / (decode_ms / 1000.0), 1),
+            "reconstruct_ms_per_call": round(recon_ms, 3),
+            "reconstruct_samples_per_sec": round(B / (recon_ms / 1000.0), 1),
+            "single_call_decode_ms_incl_dispatch": round(call_ms, 3),
+        }), flush=True)
+
+
 def cmd_trace(args):
     """Capture a profiler trace of the full train step and print device-time
     attribution: by HLO category and by framework source line. This is how
@@ -680,10 +761,14 @@ def main(argv=None):
     pt.add_argument("--out", default=None, help="trace output dir")
     pt.add_argument("--top", type=int, default=20)
     pt.add_argument("--padded", type=int, default=0, help="persistent-padded layout")
+    pv = sub.add_parser("serve")
+    pv.add_argument("--dtype", default="bfloat16")
+    pv.add_argument("--padded", type=int, default=1, help="persistent-padded layout")
+    pv.add_argument("--inner", type=int, default=128)
     args = p.parse_args(argv)
     {"conv": cmd_conv, "layout": cmd_layout, "parts": cmd_parts,
      "fuse": cmd_fuse, "bmapply": cmd_bmapply, "step": cmd_step,
-     "trace": cmd_trace}[args.cmd](args)
+     "trace": cmd_trace, "serve": cmd_serve}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -274,7 +274,21 @@ class Trainer:
                 self.dp.shard_index_chunk(idx_g),
                 self.dp.shard_index_chunk(idx_d), rng,
             )
-            jax.device_get(metrics["loss_g"])  # chunk sync
+            # chunk sync + failure detection: the fetch that closes the
+            # dispatch pipeline also screens every scanned step's losses.
+            # Fail fast with the exact step — a NaN that keeps training
+            # silently poisons all later checkpoints (every rank fetches
+            # identical replicated metrics, so multi-controller runs all
+            # raise together instead of hanging in a collective).
+            lg, ld = jax.device_get((metrics["loss_g"], metrics["loss_d"]))
+            bad = ~(np.isfinite(lg) & np.isfinite(ld))
+            if bad.any():
+                i = int(np.argmax(bad))
+                raise FloatingPointError(
+                    f"non-finite training loss at step {step + i} "
+                    f"(loss_g={lg[i]}, loss_d={ld[i]}); inspect the data/lr; "
+                    f"latest good checkpoint: {ckpt.latest_checkpoint(self.ckpt_dir)}"
+                )
             t_in_steps += time.perf_counter() - t0
             steps_done += k
 

@@ -407,3 +407,25 @@ def test_eval_metrics_leave_step_as_f32_under_bf16(tiny):
     for k, v in metrics.items():
         assert v.dtype == jnp.float32, (k, v.dtype)
         assert v.shape == (bs,), (k, v.shape)
+
+
+def test_fit_fails_fast_on_non_finite_loss(small_mesh, tmp_path):
+    """Failure detection: a NaN in the training data must abort fit() with
+    the offending step in the error, not silently poison later
+    checkpoints (the chunk-sync fetch screens every scanned step)."""
+    verts, faces = small_mesh
+    nv = len(verts)
+    cfg = CAPEConfig(
+        name="nan_abort", nf=4, nz=8, nz_cond=8, nz_cond2=4,
+        use_res_block=False, use_res_block_dec=True, affine=True,
+        reduce_dim=8, batch_size=8, num_epochs=1, steps_per_dispatch=4,
+        data_parallel=1,
+    )
+    pyr = build_pyramid(verts, faces, cfg.ds_factors)
+    pyr_d = build_pyramid(verts, faces, [2, 2, 2, 2])
+    ctx = build_graph_context(pyr, pyr_d, vertices_per_edge(faces, nv), verts)
+    data = synthetic_bodydata(n_train=40, n_test=8, num_verts=nv, seed=0, n_val=8)
+    data.disp_train[:] = np.nan
+    trainer = Trainer(cfg, CAPE(cfg), ctx, data, workdir=str(tmp_path))
+    with pytest.raises(FloatingPointError, match="non-finite training loss"):
+        trainer.fit()
