@@ -1,0 +1,371 @@
+"""HTTP model server: a JSON-over-HTTP serving surface for a trained CAPE.
+
+The reference has no serving path at all — its inference re-enters the
+TF1 session loop per script invocation (lib/models.py:931-1174 via
+run_simple_demo.py / demos.py). This module puts the `InferenceEngine`
+behind a long-lived process with a stable wire API, which is how a
+deployment actually consumes the model: the checkpoint is restored once,
+the jitted fixed-batch functions compile once, and every request after
+that pays only device compute plus the dispatch round-trip (measured in
+`perf_lab serve`, docs/PERF.md "Serving").
+
+Stdlib-only (http.server + json): nothing to install, works anywhere the
+framework does.
+
+Endpoints (all arrays are nested JSON lists, float32 on the wire):
+  GET  /health       -> model identity, dims, batch size
+  GET  /stats        -> per-endpoint request counts + latency quantiles
+  POST /encode       {disp [N,V,3], pose [N,cond_dim], clo [N,cond2_dim]}
+                     -> {z_mean, z_logvar, y, y2}
+  POST /decode       {z [N,nz], pose [N,cond_dim], clo [N,cond2_dim]}
+                     or {z_total [N,nz+nzc+nzc2], y, y2} (pre-embedded)
+                     -> {disp [N,V,3]}
+  POST /reconstruct  {disp, pose, clo, sample?: bool, seed?: int}
+                     -> {disp}
+  POST /sample       {pose [1|N,cond_dim], clo [1|N,cond2_dim], n?: int,
+                      prior?: "normal"|"gmm", seed?: int} -> {disp}
+
+Concurrency model (TPU-shaped): the HTTP layer is threaded so slow
+clients don't serialize each other, but device work goes through one
+lock — a single chip runs one batch at a time anyway, and funneling
+requests through the engine's fixed-batch padding keeps every call on
+the same compiled executable (no per-shape recompiles). Multi-chip
+serving is data-parallel at the process level: one server per chip
+behind any off-the-shelf HTTP load balancer.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from cape_tpu.apps.inference import InferenceEngine
+
+
+class ServerError(ValueError):
+    """Client-visible request error (becomes a 400 with the message)."""
+
+
+def _as_array(obj, name: str, ndim: int, last_dim: int | None = None) -> np.ndarray:
+    if obj is None:
+        raise ServerError(f"missing required field {name!r}")
+    try:
+        arr = np.asarray(obj, np.float32)
+    except (TypeError, ValueError) as e:
+        raise ServerError(f"field {name!r} is not a numeric array: {e}") from None
+    if arr.ndim != ndim:
+        raise ServerError(f"field {name!r} must have {ndim} dims, got {arr.ndim}")
+    if last_dim is not None and arr.shape[-1] != last_dim:
+        raise ServerError(
+            f"field {name!r} last dim must be {last_dim}, got {arr.shape[-1]}"
+        )
+    if not np.isfinite(arr).all():
+        raise ServerError(f"field {name!r} contains non-finite values")
+    return arr
+
+
+class _Stats:
+    """Per-endpoint request counter + latency ring (median/p95 over the
+    last `window` requests; serving dashboards want quantiles, not means)."""
+
+    def __init__(self, window: int = 256):
+        self.window = window
+        self._lock = threading.Lock()
+        self._counts: dict[str, int] = {}
+        self._errors: dict[str, int] = {}
+        self._lat: dict[str, list[float]] = {}
+
+    def record(self, endpoint: str, ms: float, ok: bool) -> None:
+        with self._lock:
+            self._counts[endpoint] = self._counts.get(endpoint, 0) + 1
+            if not ok:
+                self._errors[endpoint] = self._errors.get(endpoint, 0) + 1
+            ring = self._lat.setdefault(endpoint, [])
+            ring.append(ms)
+            if len(ring) > self.window:
+                del ring[: len(ring) - self.window]
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            out = {}
+            for ep, n in sorted(self._counts.items()):
+                lat = sorted(self._lat.get(ep, []))
+                # nearest-rank quantile: ceil(p*n)-1 (p50 of 2 = the lower)
+                q = lambda p: round(lat[max(0, -(-int(p * 100 * len(lat)) // 100) - 1)], 3)
+                out[ep] = {
+                    "requests": n,
+                    "errors": self._errors.get(ep, 0),
+                    "latency_ms_p50": q(0.50) if lat else None,
+                    "latency_ms_p95": q(0.95) if lat else None,
+                }
+            return out
+
+
+class ModelServer:
+    """Request handling around one InferenceEngine. Pure logic — transport
+    lives in `serve()` so tests can call handle() directly too."""
+
+    def __init__(self, engine: InferenceEngine, gmm=None):
+        self.engine = engine
+        self.gmm = gmm  # optional latent prior for /sample prior="gmm"
+        self.stats = _Stats()
+        self._device_lock = threading.Lock()
+        cfg = engine.model.cfg
+        ctx = engine.ctx
+        self.info = {
+            "status": "ok",
+            "model": cfg.name,
+            "num_verts": int(ctx.level_sizes[0]),
+            "nz": cfg.nz,
+            "nz_cond": cfg.nz_cond,
+            "nz_cond2": cfg.nz_cond2,
+            "cond_dim": cfg.cond_dim,
+            "cond2_dim": cfg.cond2_dim,
+            "batch_size": engine.batch_size,
+            "compute_dtype": cfg.compute_dtype,
+            "gmm_prior": gmm is not None,
+        }
+
+    # ----------------------------------------------------------- handlers
+    def _conditions(self, body: dict, n: int | None = None):
+        cfg = self.engine.model.cfg
+        pose = _as_array(body.get("pose"), "pose", 2, cfg.cond_dim)
+        clo = _as_array(body.get("clo"), "clo", 2, cfg.cond2_dim)
+        if n is not None:  # broadcast single condition rows over n samples
+            if pose.shape[0] == 1:
+                pose = np.repeat(pose, n, axis=0)
+            if clo.shape[0] == 1:
+                clo = np.repeat(clo, n, axis=0)
+            if pose.shape[0] != n or clo.shape[0] != n:
+                raise ServerError(
+                    f"pose/clo rows ({pose.shape[0]}/{clo.shape[0]}) must be 1 or n={n}"
+                )
+        elif pose.shape[0] != clo.shape[0]:
+            raise ServerError("pose and clo must have the same number of rows")
+        return pose, clo
+
+    def _disp(self, body: dict) -> np.ndarray:
+        v = self.info["num_verts"]
+        disp = _as_array(body.get("disp"), "disp", 3, 3)
+        if v is not None and disp.shape[1] != v:
+            raise ServerError(f"disp must be [N,{v},3], got {list(disp.shape)}")
+        return disp
+
+    def handle_encode(self, body: dict) -> dict:
+        disp = self._disp(body)
+        pose, clo = self._conditions(body)
+        if pose.shape[0] != disp.shape[0]:
+            raise ServerError("disp and pose must have the same number of rows")
+        with self._device_lock:
+            z_mean, z_logvar, y, y2 = self.engine.encode(disp, pose, clo)
+        return {"z_mean": z_mean, "z_logvar": z_logvar, "y": y, "y2": y2}
+
+    def handle_decode(self, body: dict) -> dict:
+        cfg = self.engine.model.cfg
+        if "z_total" in body:  # pre-embedded fast path (skip condition nets)
+            zt = _as_array(
+                body["z_total"], "z_total", 2, cfg.nz + cfg.nz_cond + cfg.nz_cond2
+            )
+            y = _as_array(body.get("y"), "y", 2, cfg.nz_cond)
+            y2 = _as_array(body.get("y2"), "y2", 2, cfg.nz_cond2)
+            with self._device_lock:
+                disp = self.engine.decode(zt, y, y2)
+            return {"disp": disp}
+        z = _as_array(body.get("z"), "z", 2, cfg.nz)
+        pose, clo = self._conditions(body, n=z.shape[0])
+        with self._device_lock:
+            y, y2 = self.engine.encode_only_condition(pose, clo)
+            zt = np.concatenate([z, y, y2], axis=-1)
+            disp = self.engine.decode(zt, y, y2)
+        return {"disp": disp}
+
+    def handle_reconstruct(self, body: dict) -> dict:
+        disp = self._disp(body)
+        pose, clo = self._conditions(body)
+        if pose.shape[0] != disp.shape[0]:
+            raise ServerError("disp and pose must have the same number of rows")
+        sample = bool(body.get("sample", False))
+        seed = int(body.get("seed", 0))
+        import jax
+
+        with self._device_lock:
+            out = self.engine.autoencode(
+                disp, pose, clo, rng=jax.random.PRNGKey(seed), sample=sample
+            )
+        return {"disp": out}
+
+    def handle_sample(self, body: dict) -> dict:
+        cfg = self.engine.model.cfg
+        n = int(body.get("n", 1))
+        if not 1 <= n <= 1024:
+            raise ServerError("n must be in [1, 1024]")
+        pose, clo = self._conditions(body, n=n)
+        prior = body.get("prior", "normal")
+        seed = int(body.get("seed", 0))
+        if prior == "gmm":
+            if self.gmm is None:
+                raise ServerError("no GMM prior loaded on this server")
+            import jax
+
+            z = np.asarray(self.gmm.sample(jax.random.PRNGKey(seed), n), np.float32)
+            if z.shape[1] != cfg.nz:
+                raise ServerError(
+                    f"GMM prior is {z.shape[1]}-dim but model nz={cfg.nz}"
+                )
+        elif prior == "normal":
+            z = np.random.default_rng(seed).standard_normal((n, cfg.nz)).astype(np.float32)
+        else:
+            raise ServerError(f"unknown prior {prior!r} (use 'normal' or 'gmm')")
+        with self._device_lock:
+            y, y2 = self.engine.encode_only_condition(pose, clo)
+            zt = np.concatenate([z, y, y2], axis=-1)
+            disp = self.engine.decode(zt, y, y2)
+        return {"disp": disp, "z": z}
+
+    # ------------------------------------------------------------ routing
+    _POST = {
+        "/encode": handle_encode,
+        "/decode": handle_decode,
+        "/reconstruct": handle_reconstruct,
+        "/sample": handle_sample,
+    }
+
+    def handle(self, method: str, path: str, body: dict | None) -> tuple[int, dict]:
+        """(method, path, parsed body) -> (http status, response dict)."""
+        t0 = time.perf_counter()
+        ok = True
+        try:
+            if method == "GET" and path == "/health":
+                return 200, dict(self.info)
+            if method == "GET" and path == "/stats":
+                return 200, self.stats.snapshot()
+            fn = self._POST.get(path) if method == "POST" else None
+            if fn is None:
+                ok = False
+                return 404, {"error": f"no route {method} {path}"}
+            out = fn(self, body or {})
+            return 200, {
+                k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                for k, v in out.items()
+            }
+        except ServerError as e:
+            ok = False
+            return 400, {"error": str(e)}
+        except Exception as e:  # surface, don't kill the server thread
+            ok = False
+            return 500, {"error": f"{type(e).__name__}: {e}"}
+        finally:
+            self.stats.record(
+                f"{method} {path}", 1000.0 * (time.perf_counter() - t0), ok
+            )
+
+
+def _make_handler(server: ModelServer):
+    class Handler(BaseHTTPRequestHandler):
+        # ThreadingHTTPServer default is HTTP/1.0-style close-per-request;
+        # keep-alive matters for latency-sensitive clients
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # route through stats, not stderr
+            pass
+
+        def _reply(self, status: int, payload: dict):
+            data = json.dumps(payload).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            status, payload = server.handle("GET", self.path, None)
+            self._reply(status, payload)
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                if length > 512 << 20:
+                    self._reply(413, {"error": "request body too large"})
+                    return
+                raw = self.rfile.read(length)
+                body = json.loads(raw) if raw else {}
+                if not isinstance(body, dict):
+                    raise ValueError("body must be a JSON object")
+            except (ValueError, UnicodeDecodeError) as e:
+                self._reply(400, {"error": f"bad JSON body: {e}"})
+                return
+            status, payload = server.handle("POST", self.path, body)
+            self._reply(status, payload)
+
+    return Handler
+
+
+def serve(
+    engine: InferenceEngine, host: str = "127.0.0.1", port: int = 8080, gmm=None
+) -> tuple[ThreadingHTTPServer, ModelServer]:
+    """Bind and return (httpd, model_server); caller runs
+    httpd.serve_forever() (or spawns a thread — see tests/test_server.py)."""
+    ms = ModelServer(engine, gmm=gmm)
+    httpd = ThreadingHTTPServer((host, port), _make_handler(ms))
+    return httpd, ms
+
+
+def main(argv=None):
+    """python -m cape_tpu.apps.server --config configs/<preset>.yaml
+         --name run1 [--host H] [--port P]
+
+    Restores the latest checkpoint for --name (like `main.py --mode demo`)
+    and serves it. --fresh-init serves untrained params (smoke tests)."""
+    import argparse
+    import sys
+
+    import jax
+
+    from cape_tpu.apps.main import build_context, restore_params
+    from cape_tpu.core.config import parse_cli
+    from cape_tpu.models.cape import CAPE
+
+    ap = argparse.ArgumentParser(add_help=False)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--fresh-init", action="store_true")
+    ap.add_argument("--workdir", default="results")
+    own, rest = ap.parse_known_args(argv)
+    cfg = parse_cli(rest)
+    if not cfg.name:
+        print("error: --name is required", file=sys.stderr)
+        sys.exit(2)
+
+    model = CAPE(cfg)
+    ctx = build_context(cfg)
+    if own.fresh_init:
+        params = jax.jit(model.init_params)(jax.random.PRNGKey(cfg.seed), ctx)
+    else:
+        params = restore_params(cfg, model, ctx, own.workdir)
+    engine = InferenceEngine(model, ctx, params, cfg.batch_size)
+
+    gmm = None
+    if cfg.nz == 18:  # the pretrained prior's dimensionality
+        try:
+            from cape_tpu.models.gmm import GMM
+
+            gmm = GMM.load_pretrained()
+        except Exception as e:
+            print(f"GMM prior unavailable ({e}); /sample prior='gmm' disabled")
+
+    httpd, _ = serve(engine, own.host, own.port, gmm=gmm)
+    print(f"serving {cfg.name} on http://{own.host}:{own.port}", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+
+
+if __name__ == "__main__":
+    main()

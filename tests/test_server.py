@@ -1,0 +1,179 @@
+"""HTTP model-server tests: wire API, error paths, parity with direct
+InferenceEngine calls. The server binds port 0 (OS-assigned) on loopback
+and runs in a daemon thread; requests go through a real HTTP socket."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from cape_tpu.apps.inference import InferenceEngine
+from cape_tpu.apps.server import serve
+from cape_tpu.core.config import CAPEConfig
+from cape_tpu.meshops import assets
+from cape_tpu.models.cape import CAPE
+from cape_tpu.ops.sparse import build_graph_context
+
+
+@pytest.fixture(scope="module")
+def srv():
+    cfg = CAPEConfig(
+        name="server_test", nf=8, nz=18, nz_cond=24, nz_cond2=8,
+        use_res_block=False, use_res_block_dec=True, affine=True,
+        reduce_dim=8, batch_size=4,
+    )
+    verts, _ = assets.template_mesh()
+    ctx = build_graph_context(
+        assets.load_pyramid("for_demo"), assets.load_pyramid("ds2"),
+        assets.smpl_edges(), verts,
+    )
+    model = CAPE(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), ctx)
+    engine = InferenceEngine(model, ctx, params, batch_size=4)
+
+    from cape_tpu.models.gmm import GMM
+
+    httpd, ms = serve(engine, "127.0.0.1", 0, gmm=GMM.load_pretrained())
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base, engine, cfg
+    httpd.shutdown()
+    httpd.server_close()
+    thread.join(timeout=5)
+
+
+def _req(base, path, body=None, method=None):
+    data = None if body is None else json.dumps(body).encode()
+    req = urllib.request.Request(
+        base + path, data=data, method=method or ("POST" if data else "GET"),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health_reports_model_dims(srv):
+    base, _, cfg = srv
+    status, info = _req(base, "/health")
+    assert status == 200
+    assert info["nz"] == cfg.nz and info["cond_dim"] == cfg.cond_dim
+    assert info["num_verts"] == 6890
+    assert info["gmm_prior"] is True
+
+
+def test_sample_shapes_and_seed_determinism(srv):
+    base, _, cfg = srv
+    body = {
+        "n": 3, "seed": 7,
+        "pose": np.zeros((1, cfg.cond_dim)).tolist(),
+        "clo": np.eye(cfg.cond2_dim)[:1].tolist(),
+    }
+    s1, r1 = _req(base, "/sample", body)
+    s2, r2 = _req(base, "/sample", body)
+    assert s1 == s2 == 200
+    disp = np.asarray(r1["disp"])
+    assert disp.shape == (3, 6890, 3)
+    np.testing.assert_array_equal(disp, np.asarray(r2["disp"]))
+    # a different seed gives different z, hence different meshes
+    s3, r3 = _req(base, "/sample", {**body, "seed": 8})
+    assert s3 == 200 and not np.allclose(disp, np.asarray(r3["disp"]))
+
+
+def test_sample_gmm_prior(srv):
+    base, _, cfg = srv
+    body = {
+        "n": 2, "prior": "gmm",
+        "pose": np.zeros((1, cfg.cond_dim)).tolist(),
+        "clo": np.eye(cfg.cond2_dim)[:1].tolist(),
+    }
+    status, r = _req(base, "/sample", body)
+    assert status == 200
+    assert np.asarray(r["z"]).shape == (2, cfg.nz)
+    assert np.asarray(r["disp"]).shape == (2, 6890, 3)
+
+
+def test_reconstruct_matches_direct_engine(srv):
+    base, engine, cfg = srv
+    rng = np.random.default_rng(0)
+    disp = rng.standard_normal((2, 6890, 3)).astype(np.float32) * 0.01
+    pose = rng.standard_normal((2, cfg.cond_dim)).astype(np.float32)
+    clo = np.eye(cfg.cond2_dim, dtype=np.float32)[:2]
+    status, r = _req(
+        base, "/reconstruct",
+        {"disp": disp.tolist(), "pose": pose.tolist(), "clo": clo.tolist()},
+    )
+    assert status == 200
+    direct = engine.autoencode(disp, pose, clo, sample=False)
+    np.testing.assert_allclose(np.asarray(r["disp"]), direct, rtol=0, atol=1e-5)
+
+
+def test_decode_pre_embedded_matches_z_path(srv):
+    base, engine, cfg = srv
+    rng = np.random.default_rng(1)
+    z = rng.standard_normal((2, cfg.nz)).astype(np.float32)
+    pose = rng.standard_normal((2, cfg.cond_dim)).astype(np.float32)
+    clo = np.eye(cfg.cond2_dim, dtype=np.float32)[:2]
+    s1, r1 = _req(
+        base, "/decode", {"z": z.tolist(), "pose": pose.tolist(), "clo": clo.tolist()}
+    )
+    assert s1 == 200
+    y, y2 = engine.encode_only_condition(pose, clo)
+    zt = np.concatenate([z, y, y2], axis=-1)
+    s2, r2 = _req(
+        base, "/decode",
+        {"z_total": zt.tolist(), "y": y.tolist(), "y2": y2.tolist()},
+    )
+    assert s2 == 200
+    np.testing.assert_allclose(
+        np.asarray(r1["disp"]), np.asarray(r2["disp"]), rtol=0, atol=1e-5
+    )
+
+
+def test_error_paths(srv):
+    base, _, cfg = srv
+    status, r = _req(base, "/nope", {"x": 1})
+    assert status == 404 and "no route" in r["error"]
+    # missing required field
+    status, r = _req(base, "/decode", {"z": [[0.0] * cfg.nz]})
+    assert status == 400 and "pose" in r["error"]
+    # wrong trailing dim
+    status, r = _req(
+        base, "/sample",
+        {"pose": [[0.0] * (cfg.cond_dim + 1)], "clo": [[0.0] * cfg.cond2_dim]},
+    )
+    assert status == 400 and "pose" in r["error"]
+    # non-finite input rejected before it reaches the device
+    bad = [[float("nan")] * cfg.cond_dim]
+    status, r = _req(base, "/sample", {"pose": bad, "clo": [[0.0] * cfg.cond2_dim]})
+    assert status == 400 and "non-finite" in r["error"]
+    # malformed JSON body
+    req = urllib.request.Request(
+        base + "/decode", data=b"{not json", method="POST",
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400 and "bad JSON" in json.loads(e.read())["error"]
+
+
+def test_stats_counts_requests(srv):
+    base, _, _ = srv
+    status, stats = _req(base, "/stats")
+    assert status == 200
+    post_eps = [k for k in stats if k.startswith("POST ")]
+    assert post_eps, f"no POST endpoints recorded: {stats}"
+    for ep in post_eps:
+        assert stats[ep]["requests"] >= 1
+        assert stats[ep]["latency_ms_p50"] is not None
+    # error counter picked up the 400s from test_error_paths
+    assert any(stats[ep]["errors"] >= 1 for ep in post_eps)
