@@ -17,6 +17,19 @@ from cape_tpu.models.cape import CAPE
 from cape_tpu.ops.sparse import GraphContext
 
 
+def _sample_z_rows(rng, offsets, z_mean, z_logvar):
+    """Row-keyed reparameterization (same clamp as CAPE.sample_z): row i
+    draws its eps from fold_in(rng, offsets[i]), so results are independent
+    of how the host loop chunks/pads the batch. Jitted once per batch shape
+    — eager dispatch is pathological on remote-attached backends."""
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(rng, offsets)
+    eps = jax.vmap(
+        lambda k: jax.random.normal(k, z_mean.shape[1:], z_mean.dtype)
+    )(keys)
+    sigma = jnp.exp(0.5 * jnp.clip(z_logvar, -30.0, 30.0))
+    return z_mean + sigma * eps
+
+
 def _pad_to(arr: np.ndarray, n: int) -> np.ndarray:
     pad = n - arr.shape[0]
     if pad <= 0:
@@ -48,6 +61,7 @@ class InferenceEngine:
         self._encode = jax.jit(model.encode)
         self._decode = jax.jit(model.decode)
         self._discriminate = jax.jit(model.discriminate)
+        self._sample_rows = jax.jit(_sample_z_rows)
 
     # ------------------------------------------------------------------
     def _batched(self, fn, n: int, *arrays):
@@ -123,8 +137,10 @@ class InferenceEngine:
         z_mean, z_logvar, y, y2 = self.encode(disp, pose, clo)
         if sample:
             rng = rng if rng is not None else jax.random.PRNGKey(0)
-            z = np.asarray(
-                self.model.sample_z(rng, jnp.asarray(z_mean), jnp.asarray(z_logvar))
+            offsets = np.arange(len(z_mean), dtype=np.int32)
+            (z,) = self._batched(
+                lambda o, zm, zl: self._sample_rows(rng, o, zm, zl),
+                len(z_mean), offsets, z_mean, z_logvar,
             )
         else:
             z = z_mean

@@ -63,9 +63,19 @@ def _as_array(obj, name: str, ndim: int, last_dim: int | None = None) -> np.ndar
         raise ServerError(
             f"field {name!r} last dim must be {last_dim}, got {arr.shape[-1]}"
         )
+    if arr.shape[0] == 0:
+        raise ServerError(f"field {name!r} has zero rows")
     if not np.isfinite(arr).all():
         raise ServerError(f"field {name!r} contains non-finite values")
     return arr
+
+
+def _as_int(body: dict, name: str, default: int) -> int:
+    v = body.get(name, default)
+    # bool is an int subclass but "n": true is a client mistake, not a count
+    if isinstance(v, bool) or not isinstance(v, (int, float)) or int(v) != v:
+        raise ServerError(f"field {name!r} must be an integer, got {v!r}")
+    return int(v)
 
 
 class _Stats:
@@ -111,7 +121,15 @@ class ModelServer:
 
     def __init__(self, engine: InferenceEngine, gmm=None):
         self.engine = engine
-        self.gmm = gmm  # optional latent prior for /sample prior="gmm"
+        # optional latent prior for /sample prior="gmm" — fetched to host
+        # once: sampling an 18-dim GMM is host work (sample_np), and
+        # per-request device fetches/eager ops cost ~29 ms-seconds each
+        # through the remote relay
+        if gmm is not None:
+            import jax
+
+            gmm = jax.device_get(gmm)
+        self.gmm = gmm
         self.stats = _Stats()
         self._device_lock = threading.Lock()
         cfg = engine.model.cfg
@@ -172,6 +190,14 @@ class ModelServer:
             )
             y = _as_array(body.get("y"), "y", 2, cfg.nz_cond)
             y2 = _as_array(body.get("y2"), "y2", 2, cfg.nz_cond2)
+            n = zt.shape[0]
+            # engine.decode broadcasts 1-row y/y2; any other mismatch would
+            # silently pad/truncate inside the fixed-batch loop
+            if y.shape[0] not in (1, n) or y2.shape[0] not in (1, n):
+                raise ServerError(
+                    f"y/y2 rows ({y.shape[0]}/{y2.shape[0]}) must be 1 or "
+                    f"match z_total rows ({n})"
+                )
             with self._device_lock:
                 disp = self.engine.decode(zt, y, y2)
             return {"disp": disp}
@@ -189,7 +215,7 @@ class ModelServer:
         if pose.shape[0] != disp.shape[0]:
             raise ServerError("disp and pose must have the same number of rows")
         sample = bool(body.get("sample", False))
-        seed = int(body.get("seed", 0))
+        seed = _as_int(body, "seed", 0)
         import jax
 
         with self._device_lock:
@@ -200,18 +226,16 @@ class ModelServer:
 
     def handle_sample(self, body: dict) -> dict:
         cfg = self.engine.model.cfg
-        n = int(body.get("n", 1))
+        n = _as_int(body, "n", 1)
         if not 1 <= n <= 1024:
             raise ServerError("n must be in [1, 1024]")
         pose, clo = self._conditions(body, n=n)
         prior = body.get("prior", "normal")
-        seed = int(body.get("seed", 0))
+        seed = _as_int(body, "seed", 0)
         if prior == "gmm":
             if self.gmm is None:
                 raise ServerError("no GMM prior loaded on this server")
-            import jax
-
-            z = np.asarray(self.gmm.sample(jax.random.PRNGKey(seed), n), np.float32)
+            z = self.gmm.sample_np(np.random.default_rng(seed), n)
             if z.shape[1] != cfg.nz:
                 raise ServerError(
                     f"GMM prior is {z.shape[1]}-dim but model nz={cfg.nz}"
@@ -238,6 +262,9 @@ class ModelServer:
         """(method, path, parsed body) -> (http status, response dict)."""
         t0 = time.perf_counter()
         ok = True
+        # stats key: fixed label for unknown paths so arbitrary client
+        # request paths cannot grow the stats dicts without bound
+        ep = f"{method} {path}"
         try:
             if method == "GET" and path == "/health":
                 return 200, dict(self.info)
@@ -246,6 +273,7 @@ class ModelServer:
             fn = self._POST.get(path) if method == "POST" else None
             if fn is None:
                 ok = False
+                ep = "(unrouted)"
                 return 404, {"error": f"no route {method} {path}"}
             out = fn(self, body or {})
             return 200, {
@@ -259,9 +287,7 @@ class ModelServer:
             ok = False
             return 500, {"error": f"{type(e).__name__}: {e}"}
         finally:
-            self.stats.record(
-                f"{method} {path}", 1000.0 * (time.perf_counter() - t0), ok
-            )
+            self.stats.record(ep, 1000.0 * (time.perf_counter() - t0), ok)
 
 
 def _make_handler(server: ModelServer):
@@ -289,6 +315,9 @@ def _make_handler(server: ModelServer):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 if length > 512 << 20:
+                    # the unread body would desync a kept-alive connection
+                    # (its bytes would parse as the next request line)
+                    self.close_connection = True
                     self._reply(413, {"error": "request body too large"})
                     return
                 raw = self.rfile.read(length)

@@ -48,6 +48,20 @@ class GMM:
         chol = self.chols[comps]                              # [n, D, D]
         return self.means[comps] + jnp.einsum("nij,nj->ni", chol, eps)
 
+    def sample_np(self, rng: np.random.Generator, n: int) -> np.ndarray:
+        """Host-side sampler (same distribution as `sample`, numpy RNG).
+
+        For serving: eager device dispatch costs seconds per op through a
+        remote-attached backend, and jitting would recompile per distinct
+        n — a tiny 18-dim draw belongs on the host. Call on a
+        `jax.device_get(gmm)` host copy to avoid per-call fetches."""
+        w = np.asarray(self.weights, np.float64)
+        comps = rng.choice(len(w), size=n, p=w / w.sum())
+        chol = np.asarray(self.chols, np.float64)[comps]
+        eps = rng.standard_normal((n, chol.shape[-1]))
+        mu = np.asarray(self.means, np.float64)[comps]
+        return (mu + np.einsum("nij,nj->ni", chol, eps)).astype(np.float32)
+
     def log_prob(self, x: jnp.ndarray) -> jnp.ndarray:
         """Log density of x [N, D] under the mixture."""
         D = self.means.shape[1]

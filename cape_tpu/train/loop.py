@@ -283,6 +283,12 @@ class Trainer:
             lg, ld = jax.device_get((metrics["loss_g"], metrics["loss_d"]))
             bad = ~(np.isfinite(lg) & np.isfinite(ld))
             if bad.any():
+                if profiling:
+                    # flush the in-flight trace before aborting: it covers
+                    # the failing chunk, and leaving the profiler started
+                    # would break any later start_trace in this process
+                    jax.profiler.stop_trace()
+                    profiling = False
                 i = int(np.argmax(bad))
                 raise FloatingPointError(
                     f"non-finite training loss at step {step + i} "

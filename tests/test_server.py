@@ -167,13 +167,52 @@ def test_error_paths(srv):
 
 
 def test_stats_counts_requests(srv):
-    base, _, _ = srv
+    base, _, cfg = srv
+    # generate our own traffic (self-sufficient under pytest -k): one ok
+    # /sample, one 400, and two unknown paths that must share one key
+    ok_body = {
+        "n": 1,
+        "pose": np.zeros((1, cfg.cond_dim)).tolist(),
+        "clo": np.eye(cfg.cond2_dim)[:1].tolist(),
+    }
+    assert _req(base, "/sample", ok_body)[0] == 200
+    assert _req(base, "/sample", {"pose": [[0.0]], "clo": [[0.0]]})[0] == 400
+    assert _req(base, "/whatever-1", {})[0] == 404
+    assert _req(base, "/whatever-2", {})[0] == 404
     status, stats = _req(base, "/stats")
     assert status == 200
-    post_eps = [k for k in stats if k.startswith("POST ")]
-    assert post_eps, f"no POST endpoints recorded: {stats}"
-    for ep in post_eps:
-        assert stats[ep]["requests"] >= 1
-        assert stats[ep]["latency_ms_p50"] is not None
-    # error counter picked up the 400s from test_error_paths
-    assert any(stats[ep]["errors"] >= 1 for ep in post_eps)
+    ep = "POST /sample"
+    assert stats[ep]["requests"] >= 2
+    assert stats[ep]["errors"] >= 1
+    assert stats[ep]["latency_ms_p50"] is not None
+    # unknown paths collapse to one fixed key (bounded stats memory)
+    assert not any(k.startswith(("POST /whatever", "GET /whatever")) for k in stats)
+    assert stats["(unrouted)"]["requests"] >= 2
+
+
+def test_sample_bad_n_is_client_error(srv):
+    base, _, cfg = srv
+    body = {
+        "n": "abc",
+        "pose": np.zeros((1, cfg.cond_dim)).tolist(),
+        "clo": np.eye(cfg.cond2_dim)[:1].tolist(),
+    }
+    status, r = _req(base, "/sample", body)
+    assert status == 400 and "'n'" in r["error"]
+    status, r = _req(base, "/sample", {**body, "n": 2, "seed": [1]})
+    assert status == 400 and "'seed'" in r["error"]
+    # zero-row arrays are a 400, not a 500 from the engine
+    status, r = _req(base, "/sample", {**body, "n": 2, "pose": [], "seed": 0})
+    assert status == 400
+
+
+def test_decode_pre_embedded_row_mismatch_rejected(srv):
+    base, engine, cfg = srv
+    zt = np.zeros((4, cfg.nz + cfg.nz_cond + cfg.nz_cond2), np.float32)
+    y = np.zeros((2, cfg.nz_cond), np.float32)
+    y2 = np.zeros((4, cfg.nz_cond2), np.float32)
+    status, r = _req(
+        base, "/decode",
+        {"z_total": zt.tolist(), "y": y.tolist(), "y2": y2.tolist()},
+    )
+    assert status == 400 and "rows" in r["error"]
