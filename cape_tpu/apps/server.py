@@ -148,6 +148,21 @@ class ModelServer:
             "gmm_prior": gmm is not None,
         }
 
+    def warmup(self) -> float:
+        """Compile every endpoint's fixed-batch executable up front so the
+        first client request pays device compute, not a 30-300 s remote
+        compile. One autoencode(sample=True) traces embed + encode +
+        sampler + decode — the full jit surface the endpoints share
+        (discriminate is not served). Returns elapsed seconds."""
+        t0 = time.perf_counter()
+        cfg = self.engine.model.cfg
+        disp = np.zeros((1, self.info["num_verts"], 3), np.float32)
+        pose = np.zeros((1, cfg.cond_dim), np.float32)
+        clo = np.zeros((1, cfg.cond2_dim), np.float32)
+        with self._device_lock:
+            self.engine.autoencode(disp, pose, clo, sample=True)
+        return time.perf_counter() - t0
+
     # ----------------------------------------------------------- handlers
     def _conditions(self, body: dict, n: int | None = None):
         cfg = self.engine.model.cfg
@@ -362,6 +377,7 @@ def main(argv=None):
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--fresh-init", action="store_true")
+    ap.add_argument("--no-warmup", action="store_true")
     ap.add_argument("--workdir", default="results")
     own, rest = ap.parse_known_args(argv)
     cfg = parse_cli(rest)
@@ -386,7 +402,10 @@ def main(argv=None):
         except Exception as e:
             print(f"GMM prior unavailable ({e}); /sample prior='gmm' disabled")
 
-    httpd, _ = serve(engine, own.host, own.port, gmm=gmm)
+    httpd, ms = serve(engine, own.host, own.port, gmm=gmm)
+    if not own.no_warmup:
+        print("warming up (compiling endpoint executables)...", flush=True)
+        print(f"warmup done in {ms.warmup():.1f}s", flush=True)
     print(f"serving {cfg.name} on http://{own.host}:{own.port}", flush=True)
     try:
         httpd.serve_forever()

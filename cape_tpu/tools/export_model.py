@@ -1,0 +1,219 @@
+"""AOT model export: a single-file serving artifact via jax.export.
+
+`jax.export` lowers a jitted function ahead of time to platform-tagged
+StableHLO that `jax.export.deserialize` can run with **no model code** —
+deployment needs jax plus the artifact, nothing from cape_tpu. Parameters
+and graph constants (banded Laplacian blocks, pool/unpool matrices,
+vertex permutation) are baked in as program constants, so one file is the
+whole model. This is the serving-deployment story the reference lacks
+entirely: its inference helpers re-open a TF session restoring a
+checkpoint that must sit next to the model-building code
+(lib/models.py:209-215, run_simple_demo.py:1-49).
+
+Artifact layout (a zip, suggested suffix `.capex`):
+  meta.json     model identity + dims + batch size + wire contract
+  embed.shlo    (pose [B,cond_dim], clo [B,cond2_dim]) -> (y, y2)
+  encode.shlo   (disp [B,V,3], pose, clo) -> (z_mean, z_logvar, y, y2)
+  decode.shlo   (z_total [B,nz+nzc+nzc2], y, y2) -> disp [B,V,3]
+
+The wire contract matches `InferenceEngine`: displacements are in the
+dataset's z-scored space and **natural template vertex order** — the RCM
+device permutation is folded into the exported programs, so consumers
+never see device order. Shapes are fixed at the export batch size (the
+same fixed-batch design the server uses; pad client-side).
+
+Functions are exported for both "cpu" and "tpu" lowering platforms by
+default, so one artifact serves locally and on-chip.
+"""
+
+from __future__ import annotations
+
+import json
+import zipfile
+
+import numpy as np
+
+
+_FNS = ("embed", "encode", "decode")
+
+
+def build_export_fns(model, ctx, params, batch_size: int):
+    """The three serving closures with params/ctx/permutation baked in.
+
+    Unlike the live jit path (where closing over ctx is banned because
+    remote-compile uploads of inlined constants hit HTTP 413 — CLAUDE.md),
+    AOT export *wants* the constants inlined: that is what makes the
+    artifact self-contained. Lowering is local, so no upload occurs.
+    """
+    import jax.numpy as jnp
+
+    perm = ctx.vertex_perm
+    inv_perm = None
+    if perm is not None:
+        inv_perm = np.empty_like(perm)
+        inv_perm[perm] = np.arange(len(perm))
+        perm = jnp.asarray(perm)
+        inv_perm = jnp.asarray(inv_perm)
+
+    def embed(pose, clo):
+        return model.embed_conditions(params, pose, clo)
+
+    def encode(disp, pose, clo):
+        y, y2 = model.embed_conditions(params, pose, clo)
+        if perm is not None:
+            disp = disp[:, perm]
+        z_mean, z_logvar = model.encode(params, ctx, disp, y, y2)
+        return z_mean, z_logvar, y, y2
+
+    def decode(z_total, y, y2):
+        out = model.decode(params, ctx, z_total, y, y2)
+        if inv_perm is not None:
+            out = out[:, inv_perm]
+        return out
+
+    cfg = model.cfg
+    B, V = batch_size, int(ctx.level_sizes[0])
+    f32 = np.float32
+    specs = {
+        "embed": ((B, cfg.cond_dim), (B, cfg.cond2_dim)),
+        "encode": ((B, V, 3), (B, cfg.cond_dim), (B, cfg.cond2_dim)),
+        "decode": (
+            (B, cfg.nz + cfg.nz_cond + cfg.nz_cond2),
+            (B, cfg.nz_cond),
+            (B, cfg.nz_cond2),
+        ),
+    }
+    import jax
+
+    specs = {
+        k: tuple(jax.ShapeDtypeStruct(s, f32) for s in v) for k, v in specs.items()
+    }
+    return {"embed": embed, "encode": encode, "decode": decode}, specs
+
+
+def export_model(
+    model, ctx, params, batch_size: int, out_path: str,
+    platforms=("cpu", "tpu"),
+) -> dict:
+    """Write the artifact zip; returns the meta dict."""
+    import jax
+    from jax import export as jexport
+
+    fns, specs = build_export_fns(model, ctx, params, batch_size)
+    cfg = model.cfg
+    meta = {
+        "format": "cape_tpu.export/1",
+        "model": cfg.name,
+        "batch_size": batch_size,
+        "num_verts": int(ctx.level_sizes[0]),
+        "nz": cfg.nz,
+        "nz_cond": cfg.nz_cond,
+        "nz_cond2": cfg.nz_cond2,
+        "cond_dim": cfg.cond_dim,
+        "cond2_dim": cfg.cond2_dim,
+        "compute_dtype": cfg.compute_dtype,
+        "platforms": list(platforms),
+        "contract": "z-scored displacements, natural template vertex order",
+    }
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("meta.json", json.dumps(meta, indent=2))
+        for name in _FNS:
+            exp = jexport.export(jax.jit(fns[name]), platforms=list(platforms))(
+                *specs[name]
+            )
+            zf.writestr(f"{name}.shlo", exp.serialize())
+    return meta
+
+
+class ExportedModel:
+    """Loader/runner for the artifact. Imports only jax + stdlib — usable
+    from a deployment image that does not ship cape_tpu."""
+
+    def __init__(self, meta: dict, calls: dict):
+        self.meta = meta
+        self._calls = calls
+
+    @classmethod
+    def load(cls, path: str) -> "ExportedModel":
+        import jax
+        from jax import export as jexport
+
+        with zipfile.ZipFile(path) as zf:
+            meta = json.loads(zf.read("meta.json"))
+            if meta.get("format") != "cape_tpu.export/1":
+                raise ValueError(f"not a cape_tpu export artifact: {path}")
+            calls = {
+                name: jax.jit(jexport.deserialize(zf.read(f"{name}.shlo")).call)
+                for name in _FNS
+            }
+        return cls(meta, calls)
+
+    def _run(self, name, *args):
+        import jax
+
+        out = self._calls[name](*[np.asarray(a, np.float32) for a in args])
+        out = out if isinstance(out, tuple) else (out,)
+        return tuple(np.asarray(x) for x in jax.device_get(out))
+
+    def embed(self, pose, clo):
+        return self._run("embed", pose, clo)
+
+    def encode(self, disp, pose, clo):
+        return self._run("encode", disp, pose, clo)
+
+    def decode(self, z_total, y, y2):
+        (out,) = self._run("decode", z_total, y, y2)
+        return out
+
+
+def main(argv=None):
+    """python -m cape_tpu.tools.export_model --config <preset> --name run1
+         --out model.capex [--batch_size B] [--fresh-init] [--platform cpu]
+    """
+    import argparse
+    import sys
+
+    import jax
+
+    ap = argparse.ArgumentParser(add_help=False)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--fresh-init", action="store_true")
+    ap.add_argument("--workdir", default="results")
+    ap.add_argument("--platform", default=None,
+                    help="jax runtime platform for param restore (e.g. cpu)")
+    ap.add_argument("--export-platforms", default="cpu,tpu")
+    own, rest = ap.parse_known_args(argv)
+    if own.platform:
+        jax.config.update("jax_platforms", own.platform)
+
+    from cape_tpu.apps.main import build_context, restore_params
+    from cape_tpu.core.config import parse_cli
+    from cape_tpu.models.cape import CAPE
+
+    cfg = parse_cli(rest)
+    if not cfg.name:
+        print("error: --name is required", file=sys.stderr)
+        sys.exit(2)
+    model = CAPE(cfg)
+    ctx = build_context(cfg)
+    if own.fresh_init:
+        params = jax.jit(model.init_params)(jax.random.PRNGKey(cfg.seed), ctx)
+    else:
+        params = restore_params(cfg, model, ctx, own.workdir)
+    params = jax.device_get(params)  # constants come from host memory
+
+    meta = export_model(
+        model, ctx, params, cfg.batch_size, own.out,
+        platforms=tuple(p for p in own.export_platforms.split(",") if p),
+    )
+    import os
+
+    print(
+        f"exported {meta['model']} (batch {meta['batch_size']}, "
+        f"platforms {meta['platforms']}) -> {own.out} "
+        f"({os.path.getsize(own.out) / 1e6:.1f} MB)"
+    )
+
+
+if __name__ == "__main__":
+    main()

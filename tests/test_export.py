@@ -1,0 +1,119 @@
+"""AOT export artifact tests: parity with the live engine, loadability
+with plain jax (no cape_tpu symbols), and the CLI round trip."""
+
+import json
+import subprocess
+import sys
+import zipfile
+
+import jax
+import numpy as np
+import pytest
+
+from cape_tpu.apps.inference import InferenceEngine
+from cape_tpu.core.config import CAPEConfig
+from cape_tpu.meshops import assets
+from cape_tpu.models.cape import CAPE
+from cape_tpu.ops.sparse import build_graph_context
+from cape_tpu.tools.export_model import ExportedModel, export_model
+
+
+@pytest.fixture(scope="module")
+def exported(tmp_path_factory):
+    cfg = CAPEConfig(
+        name="export_test", nf=8, nz=18, nz_cond=24, nz_cond2=8,
+        use_res_block=False, use_res_block_dec=True, affine=True,
+        reduce_dim=8, batch_size=4,
+    )
+    verts, _ = assets.template_mesh()
+    ctx = build_graph_context(
+        assets.load_pyramid("for_demo"), assets.load_pyramid("ds2"),
+        assets.smpl_edges(), verts,
+    )
+    model = CAPE(cfg)
+    params = jax.jit(model.init_params)(jax.random.PRNGKey(0), ctx)
+    engine = InferenceEngine(model, ctx, params, batch_size=4)
+    path = str(tmp_path_factory.mktemp("export") / "model.capex")
+    meta = export_model(
+        model, ctx, jax.device_get(params), 4, path, platforms=("cpu", "tpu")
+    )
+    return path, meta, engine, cfg
+
+
+def test_meta_and_members(exported):
+    path, meta, _, cfg = exported
+    assert meta["nz"] == cfg.nz and meta["batch_size"] == 4
+    assert meta["platforms"] == ["cpu", "tpu"]
+    with zipfile.ZipFile(path) as zf:
+        names = set(zf.namelist())
+    assert {"meta.json", "embed.shlo", "encode.shlo", "decode.shlo"} <= names
+
+
+def test_parity_with_engine(exported):
+    path, _, engine, cfg = exported
+    em = ExportedModel.load(path)
+    rng = np.random.default_rng(0)
+    disp = rng.standard_normal((4, 6890, 3)).astype(np.float32) * 0.01
+    pose = rng.standard_normal((4, cfg.cond_dim)).astype(np.float32)
+    clo = np.eye(cfg.cond2_dim, dtype=np.float32)[:4]
+
+    zm, zl, y, y2 = em.encode(disp, pose, clo)
+    zm_e, zl_e, y_e, y2_e = engine.encode(disp, pose, clo)
+    np.testing.assert_allclose(zm, zm_e, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(zl, zl_e, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(y, y_e, rtol=0, atol=1e-5)
+
+    y_o, y2_o = em.embed(pose, clo)
+    np.testing.assert_allclose(y_o, y_e, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(y2_o, y2_e, rtol=0, atol=1e-5)
+
+    zt = np.concatenate([zm, y, y2], axis=-1)
+    np.testing.assert_allclose(
+        em.decode(zt, y, y2), engine.decode(zt, y, y2), rtol=0, atol=1e-5
+    )
+
+
+def test_loads_with_plain_jax(exported):
+    """The deployment claim: running the artifact needs jax + stdlib only.
+    Deserialize and call without any cape_tpu symbol."""
+    path, meta, _, cfg = exported
+    from jax import export as jexport
+
+    with zipfile.ZipFile(path) as zf:
+        assert json.loads(zf.read("meta.json"))["format"] == "cape_tpu.export/1"
+        call = jax.jit(jexport.deserialize(zf.read("decode.shlo")).call)
+    zt = np.zeros((4, cfg.nz + cfg.nz_cond + cfg.nz_cond2), np.float32)
+    y = np.zeros((4, cfg.nz_cond), np.float32)
+    y2 = np.zeros((4, cfg.nz_cond2), np.float32)
+    out = np.asarray(jax.device_get(call(zt, y, y2)))
+    assert out.shape == (4, 6890, 3) and np.isfinite(out).all()
+
+
+def test_rejects_non_artifact(tmp_path):
+    bad = tmp_path / "bad.capex"
+    with zipfile.ZipFile(bad, "w") as zf:
+        zf.writestr("meta.json", json.dumps({"format": "other"}))
+    with pytest.raises(ValueError, match="not a cape_tpu export artifact"):
+        ExportedModel.load(str(bad))
+
+
+@pytest.mark.slow
+def test_cli_round_trip(tmp_path):
+    out = tmp_path / "cli.capex"
+    subprocess.run(
+        [
+            sys.executable, "-m", "cape_tpu.tools.export_model",
+            "--out", str(out), "--platform", "cpu",
+            "--config", "configs/CAPE_nz18_pose24_clotype8_male.yaml",
+            "--name", "cli_export_test", "--fresh-init", "--batch_size", "2",
+        ],
+        check=True, timeout=1200,
+    )
+    em = ExportedModel.load(str(out))
+    assert em.meta["batch_size"] == 2
+    disp = em.decode(
+        np.zeros((2, em.meta["nz"] + em.meta["nz_cond"] + em.meta["nz_cond2"]), np.float32),
+        np.zeros((2, em.meta["nz_cond"]), np.float32),
+        np.zeros((2, em.meta["nz_cond2"]), np.float32),
+    )
+    assert disp.shape == (2, em.meta["num_verts"], 3)

@@ -38,6 +38,7 @@ def srv():
     from cape_tpu.models.gmm import GMM
 
     httpd, ms = serve(engine, "127.0.0.1", 0, gmm=GMM.load_pretrained())
+    ms.warmup()  # the production startup path; later compiles are cache hits
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
     base = f"http://127.0.0.1:{httpd.server_address[1]}"
