@@ -37,7 +37,34 @@ def _pad_to(arr: np.ndarray, n: int) -> np.ndarray:
     return np.concatenate([arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)])
 
 
-class InferenceEngine:
+class BatchedCalls:
+    """Host-side fixed-batch loop shared by the live engine and the
+    exported-artifact engine (tools/export_model.ExportedEngine): pad each
+    chunk to `batch_size` so every call hits one compiled executable."""
+
+    batch_size: int
+
+    def _batched(self, fn, n: int, *arrays):
+        if n <= 0:
+            raise ValueError(
+                "empty batch: callers must guard n == 0 (nothing to infer)"
+            )
+        outs = None
+        bs = self.batch_size
+        for begin in range(0, n, bs):
+            end = min(begin + bs, n)
+            padded = [_pad_to(a[begin:end], bs) for a in arrays]
+            res = fn(*padded)
+            res = res if isinstance(res, tuple) else (res,)
+            res = [np.asarray(jax.device_get(r))[: end - begin] for r in res]
+            if outs is None:
+                outs = [[] for _ in res]
+            for o, r in zip(outs, res):
+                o.append(r)
+        return tuple(np.concatenate(o, axis=0) for o in outs)
+
+
+class InferenceEngine(BatchedCalls):
     """Public contract is in natural (template) vertex order; when the
     context uses the banded reordered formulation, inputs are permuted and
     outputs un-permuted at this host boundary."""
@@ -62,26 +89,6 @@ class InferenceEngine:
         self._decode = jax.jit(model.decode)
         self._discriminate = jax.jit(model.discriminate)
         self._sample_rows = jax.jit(_sample_z_rows)
-
-    # ------------------------------------------------------------------
-    def _batched(self, fn, n: int, *arrays):
-        if n <= 0:
-            raise ValueError(
-                "empty batch: callers must guard n == 0 (nothing to infer)"
-            )
-        outs = None
-        bs = self.batch_size
-        for begin in range(0, n, bs):
-            end = min(begin + bs, n)
-            padded = [_pad_to(a[begin:end], bs) for a in arrays]
-            res = fn(*padded)
-            res = res if isinstance(res, tuple) else (res,)
-            res = [np.asarray(jax.device_get(r))[: end - begin] for r in res]
-            if outs is None:
-                outs = [[] for _ in res]
-            for o, r in zip(outs, res):
-                o.append(r)
-        return tuple(np.concatenate(o, axis=0) for o in outs)
 
     # ------------------------------------------------------------------
     def encode_only_condition(self, pose: np.ndarray, clo: np.ndarray):

@@ -361,17 +361,16 @@ def serve(
 def main(argv=None):
     """python -m cape_tpu.apps.server --config configs/<preset>.yaml
          --name run1 [--host H] [--port P]
+       python -m cape_tpu.apps.server --artifact model.capex [--host H] ...
 
     Restores the latest checkpoint for --name (like `main.py --mode demo`)
-    and serves it. --fresh-init serves untrained params (smoke tests)."""
+    and serves it; --fresh-init serves untrained params (smoke tests).
+    With --artifact, serves an AOT export (tools/export_model.py) instead
+    — no config, checkpoint, or model-building code involved."""
     import argparse
     import sys
 
     import jax
-
-    from cape_tpu.apps.main import build_context, restore_params
-    from cape_tpu.core.config import parse_cli
-    from cape_tpu.models.cape import CAPE
 
     ap = argparse.ArgumentParser(add_help=False)
     ap.add_argument("--host", default="127.0.0.1")
@@ -379,22 +378,36 @@ def main(argv=None):
     ap.add_argument("--fresh-init", action="store_true")
     ap.add_argument("--no-warmup", action="store_true")
     ap.add_argument("--workdir", default="results")
+    ap.add_argument("--artifact", default=None,
+                    help="serve a .capex export instead of a checkpoint")
     own, rest = ap.parse_known_args(argv)
-    cfg = parse_cli(rest)
-    if not cfg.name:
-        print("error: --name is required", file=sys.stderr)
-        sys.exit(2)
 
-    model = CAPE(cfg)
-    ctx = build_context(cfg)
-    if own.fresh_init:
-        params = jax.jit(model.init_params)(jax.random.PRNGKey(cfg.seed), ctx)
+    if own.artifact:
+        from cape_tpu.tools.export_model import ExportedEngine, ExportedModel
+
+        engine = ExportedEngine(ExportedModel.load(own.artifact))
+        name = engine.model.cfg.name
     else:
-        params = restore_params(cfg, model, ctx, own.workdir)
-    engine = InferenceEngine(model, ctx, params, cfg.batch_size)
+        from cape_tpu.apps.main import build_context, restore_params
+        from cape_tpu.core.config import parse_cli
+        from cape_tpu.models.cape import CAPE
+
+        cfg = parse_cli(rest)
+        if not cfg.name:
+            print("error: --name is required", file=sys.stderr)
+            sys.exit(2)
+
+        model = CAPE(cfg)
+        ctx = build_context(cfg)
+        if own.fresh_init:
+            params = jax.jit(model.init_params)(jax.random.PRNGKey(cfg.seed), ctx)
+        else:
+            params = restore_params(cfg, model, ctx, own.workdir)
+        engine = InferenceEngine(model, ctx, params, cfg.batch_size)
+        name = cfg.name
 
     gmm = None
-    if cfg.nz == 18:  # the pretrained prior's dimensionality
+    if engine.model.cfg.nz == 18:  # the pretrained prior's dimensionality
         try:
             from cape_tpu.models.gmm import GMM
 
@@ -406,7 +419,7 @@ def main(argv=None):
     if not own.no_warmup:
         print("warming up (compiling endpoint executables)...", flush=True)
         print(f"warmup done in {ms.warmup():.1f}s", flush=True)
-    print(f"serving {cfg.name} on http://{own.host}:{own.port}", flush=True)
+    print(f"serving {name} on http://{own.host}:{own.port}", flush=True)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

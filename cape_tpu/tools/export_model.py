@@ -166,6 +166,79 @@ class ExportedModel:
         return out
 
 
+class ExportedEngine:
+    """InferenceEngine-compatible facade over an ExportedModel, so the
+    model server can serve a `.capex` artifact directly
+    (`python -m cape_tpu.apps.server --artifact model.capex`): deployment
+    is the artifact plus the server process — no config, no checkpoint,
+    no model-building code. Same wire contract as the live engine."""
+
+    def __init__(self, em: ExportedModel):
+        from types import SimpleNamespace
+
+        self.em = em
+        m = em.meta
+        self.batch_size = int(m["batch_size"])
+        # duck-typed surface ModelServer reads for /health
+        self.model = SimpleNamespace(
+            cfg=SimpleNamespace(
+                name=m["model"], nz=m["nz"], nz_cond=m["nz_cond"],
+                nz_cond2=m["nz_cond2"], cond_dim=m["cond_dim"],
+                cond2_dim=m["cond2_dim"], compute_dtype=m["compute_dtype"],
+            )
+        )
+        self.ctx = SimpleNamespace(level_sizes=[m["num_verts"]])
+
+    # the artifact's programs are fixed-batch; reuse the engine's pad loop
+    def _batched(self, fn, n, *arrays):
+        from cape_tpu.apps.inference import BatchedCalls
+
+        return BatchedCalls._batched(self, fn, n, *arrays)
+
+    def encode_only_condition(self, pose, clo):
+        return self._batched(
+            self.em._calls["embed"], len(pose),
+            np.asarray(pose, np.float32), np.asarray(clo, np.float32),
+        )
+
+    def encode(self, disp, pose, clo):
+        return self._batched(
+            self.em._calls["encode"], len(disp),
+            np.asarray(disp, np.float32), np.asarray(pose, np.float32),
+            np.asarray(clo, np.float32),
+        )
+
+    def decode(self, z_total, y, y2):
+        z_total = np.asarray(z_total, np.float32)
+        n = len(z_total)
+        y = np.asarray(y, np.float32)
+        y2 = np.asarray(y2, np.float32)
+        if y.shape[0] == 1:
+            y = np.repeat(y, n, axis=0)
+        if y2.shape[0] == 1:
+            y2 = np.repeat(y2, n, axis=0)
+        (out,) = self._batched(self.em._calls["decode"], n, z_total, y, y2)
+        return out
+
+    def autoencode(self, disp, pose, clo, rng=None, sample: bool = False):
+        z_mean, z_logvar, y, y2 = self.encode(disp, pose, clo)
+        if sample:
+            # host-side reparameterization (the artifact ships no sampler);
+            # same clamp as CAPE.sample_z, numpy RNG seeded from the key
+            seed = 0
+            if rng is not None:
+                import jax
+
+                seed = int(np.asarray(jax.device_get(rng)).ravel()[-1])
+            eps = np.random.default_rng(seed).standard_normal(z_mean.shape)
+            z = z_mean + np.exp(0.5 * np.clip(z_logvar, -30.0, 30.0)) * eps
+            z = z.astype(np.float32)
+        else:
+            z = z_mean
+        z_total = np.concatenate([z, y, y2], axis=-1)
+        return self.decode(z_total, y, y2)
+
+
 def main(argv=None):
     """python -m cape_tpu.tools.export_model --config <preset> --name run1
          --out model.capex [--batch_size B] [--fresh-init] [--platform cpu]

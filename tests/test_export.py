@@ -97,6 +97,48 @@ def test_rejects_non_artifact(tmp_path):
         ExportedModel.load(str(bad))
 
 
+def test_artifact_serving(exported):
+    """The model server runs on an ExportedEngine: deployment = artifact
+    + server process, no config/checkpoint/model code."""
+    import threading
+    import urllib.request
+
+    from cape_tpu.apps.server import serve
+    from cape_tpu.tools.export_model import ExportedEngine
+
+    path, meta, engine, cfg = exported
+    ee = ExportedEngine(ExportedModel.load(path))
+    httpd, ms = serve(ee, "127.0.0.1", 0)
+    ms.warmup()
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        info = json.load(urllib.request.urlopen(base + "/health", timeout=30))
+        assert info["nz"] == cfg.nz and info["batch_size"] == 4
+
+        rng = np.random.default_rng(3)
+        disp = rng.standard_normal((2, 6890, 3)).astype(np.float32) * 0.01
+        pose = rng.standard_normal((2, cfg.cond_dim)).astype(np.float32)
+        clo = np.eye(cfg.cond2_dim, dtype=np.float32)[:2]
+        body = json.dumps(
+            {"disp": disp.tolist(), "pose": pose.tolist(), "clo": clo.tolist()}
+        ).encode()
+        req = urllib.request.Request(
+            base + "/reconstruct", body, {"Content-Type": "application/json"}
+        )
+        out = json.load(urllib.request.urlopen(req, timeout=120))
+        # deterministic path matches the live engine exactly
+        direct = engine.autoencode(disp, pose, clo, sample=False)
+        np.testing.assert_allclose(
+            np.asarray(out["disp"]), direct, rtol=0, atol=1e-5
+        )
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        thread.join(timeout=5)
+
+
 @pytest.mark.slow
 def test_cli_round_trip(tmp_path):
     out = tmp_path / "cli.capex"
