@@ -44,6 +44,11 @@ class BatchedCalls:
 
     batch_size: int
 
+    def _place(self, arrays):
+        """Device placement hook for the padded chunk (identity by
+        default; the mesh-parallel engine shards the batch axis here)."""
+        return arrays
+
     def _batched(self, fn, n: int, *arrays):
         if n <= 0:
             raise ValueError(
@@ -53,7 +58,7 @@ class BatchedCalls:
         bs = self.batch_size
         for begin in range(0, n, bs):
             end = min(begin + bs, n)
-            padded = [_pad_to(a[begin:end], bs) for a in arrays]
+            padded = self._place([_pad_to(a[begin:end], bs) for a in arrays])
             res = fn(*padded)
             res = res if isinstance(res, tuple) else (res,)
             res = [np.asarray(jax.device_get(r))[: end - begin] for r in res]
@@ -69,8 +74,23 @@ class InferenceEngine(BatchedCalls):
     context uses the banded reordered formulation, inputs are permuted and
     outputs un-permuted at this host boundary."""
 
-    def __init__(self, model: CAPE, ctx: GraphContext, params: dict, batch_size: int = 16):
+    def __init__(
+        self, model: CAPE, ctx: GraphContext, params: dict,
+        batch_size: int = 16, dp=None,
+    ):
+        """`dp` (an optional parallel.mesh.DataParallel) scales bulk
+        inference over the device mesh: each compiled call processes
+        `batch_size` rows PER DEVICE — params/ctx are replicated, the
+        batch axis is sharded, and GSPMD partitions the executables. The
+        public contract (host numpy in/out, natural vertex order) is
+        unchanged; per-sample math is independent along the batch axis,
+        so outputs match the single-device engine."""
         self.model = model
+        self.dp = dp
+        if dp is not None:
+            ctx = dp.replicate(ctx)
+            params = dp.replicate(params)
+            batch_size = batch_size * dp.num_devices
         self.ctx = ctx
         self.params = params
         self.batch_size = batch_size
@@ -89,6 +109,11 @@ class InferenceEngine(BatchedCalls):
         self._decode = jax.jit(model.decode)
         self._discriminate = jax.jit(model.discriminate)
         self._sample_rows = jax.jit(_sample_z_rows)
+
+    def _place(self, arrays):
+        if self.dp is None:
+            return arrays
+        return [jax.device_put(a, self.dp.batch_sharding) for a in arrays]
 
     # ------------------------------------------------------------------
     def encode_only_condition(self, pose: np.ndarray, clo: np.ndarray):

@@ -52,7 +52,22 @@ class Trainer:
         # BodyData stays in natural vertex order (demos/engines consume it
         # directly); permutation happens only where arrays go to device
         self.vertex_perm = ctx.vertex_perm
-        self.dp = dp or DataParallel(cfg.data_parallel)
+        if dp is None:
+            n_dev = cfg.data_parallel
+            if n_dev == 0:
+                # auto mode: the batch axis is sharded across the mesh, so
+                # use the largest local device count that divides the batch
+                # (e.g. batch 4 on an 8-device host -> 4-device mesh)
+                n_all = len(jax.devices())
+                n_dev = max(d for d in range(1, n_all + 1) if cfg.batch_size % d == 0)
+            elif cfg.batch_size % n_dev != 0:
+                raise ValueError(
+                    f"data_parallel={n_dev} does not divide batch_size="
+                    f"{cfg.batch_size}; the batch axis is sharded evenly "
+                    "across the mesh"
+                )
+            dp = DataParallel(n_dev)
+        self.dp = dp
         # multi-controller runs (parallel.multihost): every process executes
         # the same compute; only the lead process touches the filesystem
         # (checkpoints, metrics, profiles)

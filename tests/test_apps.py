@@ -17,7 +17,7 @@ from cape_tpu.ops.sparse import build_graph_context
 
 
 @pytest.fixture(scope="module")
-def engine():
+def engine_parts():
     cfg = CAPEConfig(
         name="apps_test", nf=8, nz=18, nz_cond=24, nz_cond2=8,
         use_res_block=False, use_res_block_dec=True, affine=True,
@@ -30,7 +30,41 @@ def engine():
     )
     model = CAPE(cfg)
     params = model.init_params(jax.random.PRNGKey(0), ctx)
+    return model, ctx, params
+
+
+@pytest.fixture(scope="module")
+def engine(engine_parts):
+    model, ctx, params = engine_parts
     return InferenceEngine(model, ctx, params, batch_size=4)
+
+
+def test_mesh_parallel_engine_matches_single_device(engine_parts, engine):
+    """Bulk inference sharded over the 8-device mesh returns the same
+    values as the single-device engine (per-sample math is batch-
+    independent); uneven row counts exercise the pad/shard path."""
+    from cape_tpu.parallel.mesh import DataParallel
+
+    model, ctx, params = engine_parts
+    dp_engine = InferenceEngine(model, ctx, params, batch_size=1, dp=DataParallel())
+    assert dp_engine.batch_size == 8  # 1 per device x 8 devices
+
+    rng = np.random.default_rng(7)
+    n = 11  # not a multiple of the global batch
+    disp = rng.standard_normal((n, 6890, 3)).astype(np.float32) * 0.01
+    pose = rng.standard_normal((n, 126)).astype(np.float32)
+    clo = np.eye(4, dtype=np.float32)[rng.integers(0, 4, n)]
+
+    zm_dp, zl_dp, y_dp, y2_dp = dp_engine.encode(disp, pose, clo)
+    zm, zl, y, y2 = engine.encode(disp, pose, clo)
+    np.testing.assert_allclose(zm_dp, zm, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(y_dp, y, rtol=1e-5, atol=1e-6)
+
+    zt = np.concatenate([zm, y, y2], axis=-1)
+    np.testing.assert_allclose(
+        dp_engine.decode(zt, y, y2), engine.decode(zt, y, y2),
+        rtol=1e-5, atol=1e-6,
+    )
 
 
 def test_encode_only_condition_handles_uneven_batches(engine):

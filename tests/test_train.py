@@ -429,3 +429,17 @@ def test_fit_fails_fast_on_non_finite_loss(small_mesh, tmp_path):
     trainer = Trainer(cfg, CAPE(cfg), ctx, data, workdir=str(tmp_path))
     with pytest.raises(FloatingPointError, match="non-finite training loss"):
         trainer.fit()
+
+
+def test_trainer_auto_mesh_clamps_to_batch(tiny):
+    """Auto data_parallel (0) must pick a mesh that divides the batch:
+    batch 4 on the 8-device test host -> 4 devices (the artifact drill's
+    configuration); an explicit non-dividing request is a clear error."""
+    cfg, ctx, data = tiny
+    model = CAPE(cfg)
+    t = Trainer(cfg.replace(batch_size=4, data_parallel=0), model, ctx, data)
+    assert t.dp.num_devices == 4
+    t = Trainer(cfg.replace(batch_size=16, data_parallel=0), model, ctx, data)
+    assert t.dp.num_devices == 8
+    with pytest.raises(ValueError, match="does not divide"):
+        Trainer(cfg.replace(batch_size=4, data_parallel=8), model, ctx, data)
