@@ -190,6 +190,11 @@ class ExportedEngine:
         self.ctx = SimpleNamespace(level_sizes=[m["num_verts"]])
 
     # the artifact's programs are fixed-batch; reuse the engine's pad loop
+    # (delegation keeps this module import-light; _place is the base
+    # class's placement hook — identity here, single-device artifacts)
+    def _place(self, arrays):
+        return arrays
+
     def _batched(self, fn, n, *arrays):
         from cape_tpu.apps.inference import BatchedCalls
 
