@@ -191,6 +191,34 @@ def test_stats_counts_requests(srv):
     assert stats["(unrouted)"]["requests"] >= 2
 
 
+def test_concurrent_requests_serialize_on_device(srv):
+    """The HTTP layer is threaded; device work funnels through one lock.
+    N concurrent /sample requests must all succeed with correct,
+    seed-deterministic bodies (no interleaving corruption)."""
+    import concurrent.futures
+
+    base, _, cfg = srv
+    def one(seed):
+        body = {
+            "n": 1, "seed": seed,
+            "pose": np.zeros((1, cfg.cond_dim)).tolist(),
+            "clo": np.eye(cfg.cond2_dim)[:1].tolist(),
+        }
+        return seed, _req(base, "/sample", body)
+    with concurrent.futures.ThreadPoolExecutor(max_workers=6) as ex:
+        results = list(ex.map(one, [1, 2, 1, 2, 1, 2]))
+    by_seed = {}
+    for seed, (status, r) in results:
+        assert status == 200
+        disp = np.asarray(r["disp"])
+        assert disp.shape == (1, 6890, 3)
+        if seed in by_seed:  # same seed -> identical mesh, across threads
+            np.testing.assert_array_equal(disp, by_seed[seed])
+        else:
+            by_seed[seed] = disp
+    assert not np.allclose(by_seed[1], by_seed[2])
+
+
 def test_sample_bad_n_is_client_error(srv):
     base, _, cfg = srv
     body = {
