@@ -219,6 +219,39 @@ def test_concurrent_requests_serialize_on_device(srv):
     assert not np.allclose(by_seed[1], by_seed[2])
 
 
+def test_python_client_round_trip(srv):
+    """CapeClient mirrors the engine surface over the wire."""
+    from cape_tpu.apps.client import CapeClient, CapeServerError
+
+    base, engine, cfg = srv
+    c = CapeClient(base)
+    assert c.health()["nz"] == cfg.nz
+
+    rng = np.random.default_rng(5)
+    disp = rng.standard_normal((2, 6890, 3)).astype(np.float32) * 0.01
+    pose = rng.standard_normal((2, cfg.cond_dim)).astype(np.float32)
+    clo = np.eye(cfg.cond2_dim, dtype=np.float32)[:2]
+
+    zm, zl, y, y2 = c.encode(disp, pose, clo)
+    zm_e, *_ = engine.encode(disp, pose, clo)
+    np.testing.assert_allclose(zm, zm_e, rtol=0, atol=1e-5)
+
+    out = c.reconstruct(disp, pose, clo)
+    np.testing.assert_allclose(
+        out, engine.autoencode(disp, pose, clo, sample=False), rtol=0, atol=1e-5
+    )
+
+    disp_s, z_s = c.sample(pose[:1], clo[:1], n=3, seed=4)
+    assert disp_s.shape == (3, 6890, 3) and z_s.shape == (3, cfg.nz)
+
+    with pytest.raises(CapeServerError, match="rows"):
+        c.decode(
+            z=np.zeros((2, cfg.nz), np.float32),
+            pose=np.zeros((3, cfg.cond_dim), np.float32), clo=clo,
+        )
+    assert "POST /sample" in c.stats()
+
+
 def test_sample_bad_n_is_client_error(srv):
     base, _, cfg = srv
     body = {
