@@ -403,7 +403,17 @@ def main(argv=None):
             params = jax.jit(model.init_params)(jax.random.PRNGKey(cfg.seed), ctx)
         else:
             params = restore_params(cfg, model, ctx, own.workdir)
-        engine = InferenceEngine(model, ctx, params, cfg.batch_size)
+        # --data_parallel N > 1: one server process drives an N-device mesh
+        # (batch axis sharded, batch_size rows per device) for bulk
+        # throughput; the default stays single-device — latency-oriented
+        # scale-out is process-per-chip behind a load balancer
+        dp = None
+        if cfg.data_parallel > 1:
+            from cape_tpu.parallel.mesh import DataParallel
+
+            dp = DataParallel(cfg.data_parallel)
+            print(f"serving over a {dp.num_devices}-device mesh", flush=True)
+        engine = InferenceEngine(model, ctx, params, cfg.batch_size, dp=dp)
         name = cfg.name
 
     gmm = None

@@ -20,7 +20,7 @@ from cape_tpu.ops.sparse import build_graph_context
 
 
 @pytest.fixture(scope="module")
-def srv():
+def srv_parts():
     cfg = CAPEConfig(
         name="server_test", nf=8, nz=18, nz_cond=24, nz_cond2=8,
         use_res_block=False, use_res_block_dec=True, affine=True,
@@ -33,6 +33,12 @@ def srv():
     )
     model = CAPE(cfg)
     params = model.init_params(jax.random.PRNGKey(0), ctx)
+    return model, ctx, params, cfg
+
+
+@pytest.fixture(scope="module")
+def srv(srv_parts):
+    model, ctx, params, cfg = srv_parts
     engine = InferenceEngine(model, ctx, params, batch_size=4)
 
     from cape_tpu.models.gmm import GMM
@@ -217,6 +223,37 @@ def test_concurrent_requests_serialize_on_device(srv):
         else:
             by_seed[seed] = disp
     assert not np.allclose(by_seed[1], by_seed[2])
+
+
+def test_mesh_parallel_serving_matches_single_device(srv_parts, srv):
+    """One server process over a 2-device mesh (engine dp=) returns the
+    same bytes as the single-device server for the same seed."""
+    import threading
+
+    from cape_tpu.parallel.mesh import DataParallel
+
+    model, ctx, params, cfg = srv_parts
+    engine = InferenceEngine(model, ctx, params, batch_size=2, dp=DataParallel(2))
+    httpd, _ = serve(engine, "127.0.0.1", 0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base_dp = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        body = {
+            "n": 5, "seed": 21,
+            "pose": np.zeros((1, cfg.cond_dim)).tolist(),
+            "clo": np.eye(cfg.cond2_dim)[:1].tolist(),
+        }
+        s1, r_dp = _req(base_dp, "/sample", body)
+        s2, r_1 = _req(srv[0], "/sample", body)
+        assert s1 == s2 == 200
+        np.testing.assert_allclose(
+            np.asarray(r_dp["disp"]), np.asarray(r_1["disp"]), rtol=0, atol=1e-5
+        )
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        thread.join(timeout=5)
 
 
 def test_python_client_round_trip(srv):
