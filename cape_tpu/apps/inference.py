@@ -17,17 +17,32 @@ from cape_tpu.models.cape import CAPE
 from cape_tpu.ops.sparse import GraphContext
 
 
-def _sample_z_rows(rng, offsets, z_mean, z_logvar):
+def _sample_z_rows(seed, offsets, z_mean, z_logvar):
     """Row-keyed reparameterization (same clamp as CAPE.sample_z): row i
-    draws its eps from fold_in(rng, offsets[i]), so results are independent
-    of how the host loop chunks/pads the batch. Jitted once per batch shape
-    — eager dispatch is pathological on remote-attached backends."""
+    draws its eps from fold_in(key(seed), offsets[i]), so results are
+    independent of how the host loop chunks/pads the batch. The key is
+    built from the integer seed INSIDE the jit (traced, no eager
+    dispatch) — eager ops are pathological on remote-attached backends."""
+    rng = jax.random.PRNGKey(seed)
     keys = jax.vmap(jax.random.fold_in, (None, 0))(rng, offsets)
     eps = jax.vmap(
         lambda k: jax.random.normal(k, z_mean.shape[1:], z_mean.dtype)
     )(keys)
     sigma = jnp.exp(0.5 * jnp.clip(z_logvar, -30.0, 30.0))
     return z_mean + sigma * eps
+
+
+def broadcast_conditions(y, y2, n: int):
+    """1-row y/y2 embeddings broadcast over n rows (reference decode
+    semantics, lib/models.py:1155-1158); shared by the live and exported
+    engines' decode."""
+    y = np.asarray(y, np.float32)
+    y2 = np.asarray(y2, np.float32)
+    if y.shape[0] == 1:
+        y = np.repeat(y, n, axis=0)
+    if y2.shape[0] == 1:
+        y2 = np.repeat(y2, n, axis=0)
+    return y, y2
 
 
 def _pad_to(arr: np.ndarray, n: int) -> np.ndarray:
@@ -152,12 +167,7 @@ class InferenceEngine(BatchedCalls):
         have one row (broadcast over all z, reference decode semantics)."""
         z_total = np.asarray(z_total, np.float32)
         n = len(z_total)
-        y = np.asarray(y, np.float32)
-        y2 = np.asarray(y2, np.float32)
-        if y.shape[0] == 1:
-            y = np.repeat(y, n, axis=0)
-        if y2.shape[0] == 1:
-            y2 = np.repeat(y2, n, axis=0)
+        y, y2 = broadcast_conditions(y, y2, n)
         (out,) = self._batched(
             lambda z, a, b: self._decode(self.params, self.ctx, z, a, b), n, z_total, y, y2
         )
@@ -165,13 +175,22 @@ class InferenceEngine(BatchedCalls):
 
     def autoencode(self, disp, pose, clo, rng=None, sample: bool = False):
         """Full reconstruction. sample=False uses the posterior mean (the
-        deterministic eval path); sample=True draws z like training."""
+        deterministic eval path); sample=True draws z like training.
+        `rng` is an integer seed (preferred: stays host-side until the
+        jitted sampler) or a PRNGKey (accepted for back-compat; its last
+        word is fetched as the seed)."""
         z_mean, z_logvar, y, y2 = self.encode(disp, pose, clo)
         if sample:
-            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            if rng is None:
+                seed = 0
+            elif isinstance(rng, (int, np.integer)):
+                seed = int(rng)
+            else:
+                seed = int(np.asarray(jax.device_get(rng)).ravel()[-1])
+            seed = np.uint32(seed)
             offsets = np.arange(len(z_mean), dtype=np.int32)
             (z,) = self._batched(
-                lambda o, zm, zl: self._sample_rows(rng, o, zm, zl),
+                lambda o, zm, zl: self._sample_rows(seed, o, zm, zl),
                 len(z_mean), offsets, z_mean, z_logvar,
             )
         else:

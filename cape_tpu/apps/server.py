@@ -70,12 +70,20 @@ def _as_array(obj, name: str, ndim: int, last_dim: int | None = None) -> np.ndar
     return arr
 
 
-def _as_int(body: dict, name: str, default: int) -> int:
+def _as_int(body: dict, name: str, default: int, min_value: int | None = None) -> int:
     v = body.get(name, default)
-    # bool is an int subclass but "n": true is a client mistake, not a count
-    if isinstance(v, bool) or not isinstance(v, (int, float)) or int(v) != v:
-        raise ServerError(f"field {name!r} must be an integer, got {v!r}")
-    return int(v)
+    # bool is an int subclass but "n": true is a client mistake, not a
+    # count; json.loads also accepts NaN/Infinity tokens, so int() can
+    # raise ValueError/OverflowError — all are 400s, not 500s
+    try:
+        if isinstance(v, bool) or not isinstance(v, (int, float)) or int(v) != v:
+            raise ValueError
+    except (ValueError, OverflowError):
+        raise ServerError(f"field {name!r} must be an integer, got {v!r}") from None
+    v = int(v)
+    if min_value is not None and v < min_value:
+        raise ServerError(f"field {name!r} must be >= {min_value}, got {v}")
+    return v
 
 
 class _Stats:
@@ -161,6 +169,9 @@ class ModelServer:
         clo = np.zeros((1, cfg.cond2_dim), np.float32)
         with self._device_lock:
             self.engine.autoencode(disp, pose, clo, sample=True)
+            # the artifact engine's embed is a separate exported program
+            # (not reached through autoencode's encode); compile it too
+            self.engine.encode_only_condition(pose, clo)
         return time.perf_counter() - t0
 
     # ----------------------------------------------------------- handlers
@@ -230,13 +241,11 @@ class ModelServer:
         if pose.shape[0] != disp.shape[0]:
             raise ServerError("disp and pose must have the same number of rows")
         sample = bool(body.get("sample", False))
-        seed = _as_int(body, "seed", 0)
-        import jax
-
+        # the integer seed goes straight into the engine's jitted sampler
+        # (building a PRNGKey here would be an eager per-request dispatch)
+        seed = _as_int(body, "seed", 0, min_value=0)
         with self._device_lock:
-            out = self.engine.autoencode(
-                disp, pose, clo, rng=jax.random.PRNGKey(seed), sample=sample
-            )
+            out = self.engine.autoencode(disp, pose, clo, rng=seed, sample=sample)
         return {"disp": out}
 
     def handle_sample(self, body: dict) -> dict:
@@ -246,7 +255,7 @@ class ModelServer:
             raise ServerError("n must be in [1, 1024]")
         pose, clo = self._conditions(body, n=n)
         prior = body.get("prior", "normal")
-        seed = _as_int(body, "seed", 0)
+        seed = _as_int(body, "seed", 0, min_value=0)
         if prior == "gmm":
             if self.gmm is None:
                 raise ServerError("no GMM prior loaded on this server")
@@ -383,6 +392,12 @@ def main(argv=None):
     own, rest = ap.parse_known_args(argv)
 
     if own.artifact:
+        if rest:
+            # checkpoint-mode flags (batch size, mesh, config, ...) cannot
+            # apply to a baked artifact; silently ignoring them would let
+            # an operator believe they configured something
+            print(f"error: unsupported flags with --artifact: {rest}", file=sys.stderr)
+            sys.exit(2)
         from cape_tpu.tools.export_model import ExportedEngine, ExportedModel
 
         engine = ExportedEngine(ExportedModel.load(own.artifact))

@@ -30,6 +30,12 @@ def make_mesh(n_devices: int = 0, devices=None) -> Mesh:
     """1-D data-parallel mesh over the first n (default: all) local devices."""
     devices = list(devices if devices is not None else jax.devices())
     if n_devices and n_devices > 0:
+        if n_devices > len(devices):
+            # slicing would silently run an N-way request on fewer devices
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices are available"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 

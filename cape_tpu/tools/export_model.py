@@ -33,6 +33,8 @@ import zipfile
 
 import numpy as np
 
+from cape_tpu.apps.inference import BatchedCalls, broadcast_conditions
+
 
 _FNS = ("embed", "encode", "decode")
 
@@ -166,7 +168,7 @@ class ExportedModel:
         return out
 
 
-class ExportedEngine:
+class ExportedEngine(BatchedCalls):
     """InferenceEngine-compatible facade over an ExportedModel, so the
     model server can serve a `.capex` artifact directly
     (`python -m cape_tpu.apps.server --artifact model.capex`): deployment
@@ -189,17 +191,6 @@ class ExportedEngine:
         )
         self.ctx = SimpleNamespace(level_sizes=[m["num_verts"]])
 
-    # the artifact's programs are fixed-batch; reuse the engine's pad loop
-    # (delegation keeps this module import-light; _place is the base
-    # class's placement hook — identity here, single-device artifacts)
-    def _place(self, arrays):
-        return arrays
-
-    def _batched(self, fn, n, *arrays):
-        from cape_tpu.apps.inference import BatchedCalls
-
-        return BatchedCalls._batched(self, fn, n, *arrays)
-
     def encode_only_condition(self, pose, clo):
         return self._batched(
             self.em._calls["embed"], len(pose),
@@ -216,12 +207,7 @@ class ExportedEngine:
     def decode(self, z_total, y, y2):
         z_total = np.asarray(z_total, np.float32)
         n = len(z_total)
-        y = np.asarray(y, np.float32)
-        y2 = np.asarray(y2, np.float32)
-        if y.shape[0] == 1:
-            y = np.repeat(y, n, axis=0)
-        if y2.shape[0] == 1:
-            y2 = np.repeat(y2, n, axis=0)
+        y, y2 = broadcast_conditions(y, y2, n)
         (out,) = self._batched(self.em._calls["decode"], n, z_total, y, y2)
         return out
 

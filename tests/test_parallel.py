@@ -15,6 +15,9 @@ def test_make_mesh_sizes():
     m2 = make_mesh(2)
     assert m2.devices.size == 2
     assert m2.axis_names == (DATA_AXIS,)
+    # over-requesting must error, not silently run on fewer devices
+    with pytest.raises(ValueError, match="only"):
+        make_mesh(len(jax.devices()) + 1)
 
 
 def test_shard_batch_splits_leading_axis():

@@ -300,6 +300,14 @@ def test_sample_bad_n_is_client_error(srv):
     assert status == 400 and "'n'" in r["error"]
     status, r = _req(base, "/sample", {**body, "n": 2, "seed": [1]})
     assert status == 400 and "'seed'" in r["error"]
+    # json accepts NaN/Infinity tokens; they are 400s, not 500s
+    status, r = _req(base, "/sample", {**body, "n": float("nan")})
+    assert status == 400 and "'n'" in r["error"]
+    status, r = _req(base, "/sample", {**body, "n": 2, "seed": float("inf")})
+    assert status == 400 and "'seed'" in r["error"]
+    # negative seeds are rejected consistently across endpoints
+    status, r = _req(base, "/sample", {**body, "n": 2, "seed": -1})
+    assert status == 400 and ">= 0" in r["error"]
     # zero-row arrays are a 400, not a 500 from the engine
     status, r = _req(base, "/sample", {**body, "n": 2, "pose": [], "seed": 0})
     assert status == 400
