@@ -7,16 +7,23 @@ inference:
     eng = InferenceEngine(model, ctx, params)        # in-process
     eng = CapeClient("http://tpu-host:8080")         # remote, same calls
 
-Raises CapeServerError with the server's message on 4xx/5xx.
+By default requests/responses travel as binary npz (a mesh is ~82k
+floats; JSON costs hundreds of ms to encode/decode where raw float32
+bytes cost ~nothing — `perf_lab http --wire` measures both). Pass
+wire="json" for the debuggable format. Raises CapeServerError with the
+server's message on 4xx/5xx.
 """
 
 from __future__ import annotations
 
+import io
 import json
 import urllib.error
 import urllib.request
 
 import numpy as np
+
+_NPZ = "application/x-npz"
 
 
 class CapeServerError(RuntimeError):
@@ -26,33 +33,49 @@ class CapeServerError(RuntimeError):
 
 
 class CapeClient:
-    def __init__(self, base_url: str, timeout: float = 300.0):
+    def __init__(self, base_url: str, timeout: float = 300.0, wire: str = "npz"):
+        if wire not in ("npz", "json"):
+            raise ValueError(f"wire must be 'npz' or 'json', got {wire!r}")
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
+        self.wire = wire
 
     # ------------------------------------------------------------- wire
     def _get(self, path: str) -> dict:
         return self._request(urllib.request.Request(self.base_url + path))
 
     def _post(self, path: str, body: dict) -> dict:
-        data = json.dumps(
-            {
-                k: (v.tolist() if isinstance(v, np.ndarray) else v)
-                for k, v in body.items()
-                if v is not None
-            }
-        ).encode()
+        body = {k: v for k, v in body.items() if v is not None}
+        if self.wire == "npz":
+            buf = io.BytesIO()
+            np.savez(buf, **body)
+            data, ctype = buf.getvalue(), _NPZ
+        else:
+            data = json.dumps(
+                {
+                    k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                    for k, v in body.items()
+                }
+            ).encode()
+            ctype = "application/json"
         return self._request(
             urllib.request.Request(
                 self.base_url + path, data,
-                {"Content-Type": "application/json"},
+                {"Content-Type": ctype, "Accept": ctype},
             )
         )
 
     def _request(self, req) -> dict:
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-                return json.loads(resp.read())
+                raw = resp.read()
+                if _NPZ in (resp.headers.get("Content-Type") or ""):
+                    with np.load(io.BytesIO(raw), allow_pickle=False) as z:
+                        return {
+                            k: (v.item() if v.ndim == 0 else v)
+                            for k, v in z.items()
+                        }
+                return json.loads(raw)
         except urllib.error.HTTPError as e:
             try:
                 msg = json.loads(e.read()).get("error", "")

@@ -12,6 +12,14 @@ that pays only device compute plus the dispatch round-trip (measured in
 Stdlib-only (http.server + json): nothing to install, works anywhere the
 framework does.
 
+Wire formats: JSON (nested lists) for debuggability, and a binary npz
+format for production — a mesh is ~82k floats, and JSON costs hundreds
+of ms to encode/decode where raw float32 bytes cost ~nothing (measured
+in `perf_lab http`). POST a `numpy.savez` archive with
+`Content-Type: application/x-npz` (0-d entries become scalars), and/or
+request binary responses with `Accept: application/x-npz`. Errors are
+always JSON. apps/client.CapeClient speaks npz by default.
+
 Endpoints (all arrays are nested JSON lists, float32 on the wire):
   GET  /health       -> model identity, dims, batch size
   GET  /stats        -> per-endpoint request counts + latency quantiles
@@ -36,6 +44,7 @@ behind any off-the-shelf HTTP load balancer.
 
 from __future__ import annotations
 
+import io
 import json
 import threading
 import time
@@ -45,9 +54,29 @@ import numpy as np
 
 from cape_tpu.apps.inference import InferenceEngine
 
+NPZ_CONTENT_TYPE = "application/x-npz"
+
 
 class ServerError(ValueError):
     """Client-visible request error (becomes a 400 with the message)."""
+
+
+def _npz_to_body(raw: bytes) -> dict:
+    """Decode an npz request body: arrays stay arrays, 0-d entries become
+    python scalars (n, seed, sample, prior, ...)."""
+    try:
+        with np.load(io.BytesIO(raw), allow_pickle=False) as z:
+            return {
+                k: (v.item() if v.ndim == 0 else v) for k, v in z.items()
+            }
+    except Exception as e:
+        raise ValueError(str(e)) from None
+
+
+def _body_to_npz(payload: dict) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **payload)  # uncompressed: wire speed over size
+    return buf.getvalue()
 
 
 def _as_array(obj, name: str, ndim: int, last_dim: int | None = None) -> np.ndarray:
@@ -282,8 +311,12 @@ class ModelServer:
         "/sample": handle_sample,
     }
 
-    def handle(self, method: str, path: str, body: dict | None) -> tuple[int, dict]:
-        """(method, path, parsed body) -> (http status, response dict)."""
+    def handle(
+        self, method: str, path: str, body: dict | None, raw: bool = False
+    ) -> tuple[int, dict]:
+        """(method, path, parsed body) -> (http status, response dict).
+        raw=True leaves arrays as numpy (binary npz responses); errors and
+        GET endpoints are plain dicts either way."""
         t0 = time.perf_counter()
         ok = True
         # stats key: fixed label for unknown paths so arbitrary client
@@ -300,6 +333,8 @@ class ModelServer:
                 ep = "(unrouted)"
                 return 404, {"error": f"no route {method} {path}"}
             out = fn(self, body or {})
+            if raw:
+                return 200, out
             return 200, {
                 k: (v.tolist() if isinstance(v, np.ndarray) else v)
                 for k, v in out.items()
@@ -325,8 +360,11 @@ def _make_handler(server: ModelServer):
 
         def _reply(self, status: int, payload: dict):
             data = json.dumps(payload).encode()
+            self._reply_bytes(status, data, "application/json")
+
+        def _reply_bytes(self, status: int, data: bytes, ctype: str):
             self.send_response(status)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
             self.wfile.write(data)
@@ -336,6 +374,10 @@ def _make_handler(server: ModelServer):
             self._reply(status, payload)
 
         def do_POST(self):
+            is_npz_req = NPZ_CONTENT_TYPE in (self.headers.get("Content-Type") or "")
+            wants_npz = is_npz_req or (
+                NPZ_CONTENT_TYPE in (self.headers.get("Accept") or "")
+            )
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 if length > 512 << 20:
@@ -345,14 +387,21 @@ def _make_handler(server: ModelServer):
                     self._reply(413, {"error": "request body too large"})
                     return
                 raw = self.rfile.read(length)
-                body = json.loads(raw) if raw else {}
+                if is_npz_req:
+                    body = _npz_to_body(raw) if raw else {}
+                else:
+                    body = json.loads(raw) if raw else {}
                 if not isinstance(body, dict):
                     raise ValueError("body must be a JSON object")
             except (ValueError, UnicodeDecodeError) as e:
-                self._reply(400, {"error": f"bad JSON body: {e}"})
+                kind = "npz" if is_npz_req else "JSON"
+                self._reply(400, {"error": f"bad {kind} body: {e}"})
                 return
-            status, payload = server.handle("POST", self.path, body)
-            self._reply(status, payload)
+            status, payload = server.handle("POST", self.path, body, raw=wants_npz)
+            if wants_npz and status == 200:
+                self._reply_bytes(status, _body_to_npz(payload), NPZ_CONTENT_TYPE)
+            else:
+                self._reply(status, payload)
 
     return Handler
 

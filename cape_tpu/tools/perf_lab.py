@@ -726,6 +726,56 @@ def cmd_trace(args):
         print(f"#  {v/n_steps:9.1f} {n_src[k]//n_steps:5d}  {k}")
 
 
+def cmd_http(args):
+    """End-to-end serving latency through the HTTP stack against a LIVE
+    server (start one with `python -m cape_tpu.apps.server ...`). This is
+    what a remote client sees: JSON encode + socket + device work + JSON
+    decode — the delta vs `serve`'s dispatch-inclusive device latency is
+    the server-stack overhead. Prints client-side p50/p95 per endpoint
+    and the server's own /stats quantiles for cross-checking."""
+    import time
+
+    import numpy as np
+
+    from cape_tpu.apps.client import CapeClient
+
+    wires = ("npz", "json") if args.wire == "both" else (args.wire,)
+    probe = CapeClient(args.url)
+    h = probe.health()
+    print(f"# target {args.url}: model={h['model']} batch={h['batch_size']} "
+          f"dtype={h['compute_dtype']}")
+    rng = np.random.default_rng(0)
+    pose = np.zeros((1, h["cond_dim"]), np.float32)
+    clo = np.zeros((1, h["cond2_dim"]), np.float32)
+    disp = (rng.standard_normal((args.batch, h["num_verts"], 3)) * 0.01).astype(np.float32)
+    pose_b = np.repeat(pose, args.batch, 0)
+    clo_b = np.repeat(clo, args.batch, 0)
+
+    def bench(label, fn):
+        for _ in range(3):
+            fn()
+        lats = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            fn()
+            lats.append(1000.0 * (time.perf_counter() - t0))
+        lats.sort()
+        q = lambda p: lats[min(len(lats) - 1, int(p * len(lats)))]
+        print(f"#  {label:<34} p50 {q(0.50):8.2f} ms  p95 {q(0.95):8.2f} ms  "
+              f"({args.batch / (q(0.50) / 1000.0):8.1f} mesh/s at p50)")
+
+    for wire in wires:
+        c = CapeClient(args.url, wire=wire)
+        bench(f"[{wire}] sample n={args.batch}",
+              lambda: c.sample(pose, clo, n=args.batch, seed=1))
+        bench(f"[{wire}] reconstruct batch={args.batch}",
+              lambda: c.reconstruct(disp, pose_b, clo_b))
+    print("# server-side /stats (device work + parse, excl. socket+client):")
+    for ep, s in probe.stats().items():
+        print(f"#  {ep:<20} n={s['requests']:<5} p50 {s['latency_ms_p50']} ms "
+              f"p95 {s['latency_ms_p95']} ms")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -765,10 +815,15 @@ def main(argv=None):
     pv.add_argument("--dtype", default="bfloat16")
     pv.add_argument("--padded", type=int, default=1, help="persistent-padded layout")
     pv.add_argument("--inner", type=int, default=128)
+    ph = sub.add_parser("http")
+    ph.add_argument("--url", default="http://127.0.0.1:8080")
+    ph.add_argument("--batch", type=int, default=16)
+    ph.add_argument("--reps", type=int, default=50)
+    ph.add_argument("--wire", default="both", choices=("both", "npz", "json"))
     args = p.parse_args(argv)
     {"conv": cmd_conv, "layout": cmd_layout, "parts": cmd_parts,
      "fuse": cmd_fuse, "bmapply": cmd_bmapply, "step": cmd_step,
-     "trace": cmd_trace, "serve": cmd_serve}[args.cmd](args)
+     "trace": cmd_trace, "serve": cmd_serve, "http": cmd_http}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -289,6 +289,37 @@ def test_python_client_round_trip(srv):
     assert "POST /sample" in c.stats()
 
 
+def test_npz_and_json_wires_agree(srv):
+    """The binary npz wire (production: raw float32 bytes, no JSON
+    encode of ~82k floats/mesh) returns byte-identical results to JSON,
+    and npz errors are still JSON 400s."""
+    from cape_tpu.apps.client import CapeClient, CapeServerError
+
+    base, _, cfg = srv
+    npz = CapeClient(base, wire="npz")
+    js = CapeClient(base, wire="json")
+    pose = np.zeros((1, cfg.cond_dim), np.float32)
+    clo = np.eye(cfg.cond2_dim, dtype=np.float32)[:1]
+    d_npz, z_npz = npz.sample(pose, clo, n=2, seed=13)
+    d_js, z_js = js.sample(pose, clo, n=2, seed=13)
+    assert d_npz.dtype == np.float32
+    np.testing.assert_array_equal(d_npz, np.asarray(d_js, np.float32))
+    np.testing.assert_array_equal(z_npz, np.asarray(z_js, np.float32))
+    with pytest.raises(CapeServerError, match="n must be"):
+        npz.sample(pose, clo, n=-3)
+    # a garbage npz body is a 400, not a 500
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        base + "/sample", b"not an npz archive",
+        {"Content-Type": "application/x-npz"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
+
+
 def test_sample_bad_n_is_client_error(srv):
     base, _, cfg = srv
     body = {
