@@ -95,18 +95,36 @@ def build_export_fns(model, ctx, params, batch_size: int):
 
 def export_model(
     model, ctx, params, batch_size: int, out_path: str,
-    platforms=("cpu", "tpu"),
+    platforms=("cpu", "tpu"), symbolic_batch: bool = False,
 ) -> dict:
-    """Write the artifact zip; returns the meta dict."""
+    """Write the artifact zip; returns the meta dict.
+
+    symbolic_batch=True lowers the batch dimension as a jax.export
+    symbolic shape: one artifact runs at ANY batch size (each distinct
+    size still compiles once at load time). batch_size is then only the
+    suggested serving batch recorded in meta. Requires the ctx built with
+    use_pallas=False — the Pallas routing gate compares batch*channels
+    against a threshold, which is inconclusive for a symbolic dim (and a
+    Pallas custom-call would not be portable to the cpu lowering anyway;
+    the CLI forces this)."""
     import jax
     from jax import export as jexport
 
     fns, specs = build_export_fns(model, ctx, params, batch_size)
+    if symbolic_batch:
+        (b,) = jexport.symbolic_shape("b")
+        specs = {
+            k: tuple(
+                jax.ShapeDtypeStruct((b,) + s.shape[1:], s.dtype) for s in v
+            )
+            for k, v in specs.items()
+        }
     cfg = model.cfg
     meta = {
         "format": "cape_tpu.export/1",
         "model": cfg.name,
         "batch_size": batch_size,
+        "symbolic_batch": bool(symbolic_batch),
         "num_verts": int(ctx.level_sizes[0]),
         "nz": cfg.nz,
         "nz_cond": cfg.nz_cond,
@@ -246,6 +264,8 @@ def main(argv=None):
     ap.add_argument("--platform", default=None,
                     help="jax runtime platform for param restore (e.g. cpu)")
     ap.add_argument("--export-platforms", default="cpu,tpu")
+    ap.add_argument("--symbolic-batch", action="store_true",
+                    help="lower the batch dim symbolically: one artifact, any batch size")
     own, rest = ap.parse_known_args(argv)
     if own.platform:
         jax.config.update("jax_platforms", own.platform)
@@ -255,6 +275,10 @@ def main(argv=None):
     from cape_tpu.models.cape import CAPE
 
     cfg = parse_cli(rest)
+    # exported programs must lower on every target platform: the Pallas
+    # kernels are TPU custom calls (unportable to the cpu lowering), and
+    # their routing gate is inconclusive under a symbolic batch dim
+    cfg = cfg.replace(use_pallas=False)
     if not cfg.name:
         print("error: --name is required", file=sys.stderr)
         sys.exit(2)
@@ -269,6 +293,7 @@ def main(argv=None):
     meta = export_model(
         model, ctx, params, cfg.batch_size, own.out,
         platforms=tuple(p for p in own.export_platforms.split(",") if p),
+        symbolic_batch=own.symbolic_batch,
     )
     import os
 

@@ -89,6 +89,39 @@ def test_loads_with_plain_jax(exported):
     assert out.shape == (4, 6890, 3) and np.isfinite(out).all()
 
 
+def test_symbolic_batch_export(exported, tmp_path):
+    """--symbolic-batch lowers the batch dim symbolically: one artifact
+    executes at any batch size and matches the fixed-batch artifact."""
+    _, _, engine, cfg = exported
+    path = str(tmp_path / "sym.capex")
+    # symbolic lowering needs the XLA-only routing (the Pallas gate
+    # compares batch*channels against a threshold — inconclusive for a
+    # symbolic dim); the CLI forces use_pallas=False the same way
+    verts, _ = assets.template_mesh()
+    ctx = build_graph_context(
+        assets.load_pyramid("for_demo"), assets.load_pyramid("ds2"),
+        assets.smpl_edges(), verts, use_pallas=False,
+    )
+    meta = export_model(
+        engine.model, ctx, engine.params, 4, path,
+        platforms=("cpu", "tpu"), symbolic_batch=True,
+    )
+    assert meta["symbolic_batch"] is True
+    em = ExportedModel.load(path)
+    rng = np.random.default_rng(2)
+    for B in (3, 7):  # neither is the export batch
+        zt = rng.standard_normal(
+            (B, cfg.nz + cfg.nz_cond + cfg.nz_cond2)
+        ).astype(np.float32)
+        y = rng.standard_normal((B, cfg.nz_cond)).astype(np.float32)
+        y2 = rng.standard_normal((B, cfg.nz_cond2)).astype(np.float32)
+        out = em.decode(zt, y, y2)
+        assert out.shape == (B, 6890, 3)
+        np.testing.assert_allclose(
+            out, engine.decode(zt, y, y2), rtol=0, atol=1e-5
+        )
+
+
 def test_rejects_non_artifact(tmp_path):
     bad = tmp_path / "bad.capex"
     with zipfile.ZipFile(bad, "w") as zf:
