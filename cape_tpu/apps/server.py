@@ -40,6 +40,15 @@ requests through the engine's fixed-batch padding keeps every call on
 the same compiled executable (no per-shape recompiles). Multi-chip
 serving is data-parallel at the process level: one server per chip
 behind any off-the-shelf HTTP load balancer.
+
+Dynamic micro-batching (on by default, --no-micro-batch to disable):
+concurrent /sample and /decode requests coalesce into one fixed-batch
+device call — the generation hot path's embed and decode each gather up
+to batch_size rows across requests, waiting at most ~2 ms after the
+first arrival. Per-row math is batch-independent, so coalesced results
+equal per-request results; under concurrent single-mesh load this turns
+N dispatch round-trips into ~N/batch_size. Device-call counts are
+reported under "(micro_batch)" in /stats.
 """
 
 from __future__ import annotations
@@ -77,6 +86,75 @@ def _body_to_npz(payload: dict) -> bytes:
     buf = io.BytesIO()
     np.savez(buf, **payload)  # uncompressed: wire speed over size
     return buf.getvalue()
+
+
+class _MicroBatcher:
+    """Dynamic request coalescing: rows from concurrent requests merge
+    into one fixed-batch device call. A worker drains the queue up to
+    `capacity` rows, waiting at most `window_ms` after the first arrival
+    (negligible vs the ~29 ms dispatch round-trip it saves per coalesced
+    request). `fn` receives row-stacked arrays and returns row-stacked
+    outputs; per-row math must be batch-independent (it is: every model
+    reduction is per-sample)."""
+
+    def __init__(self, fn, capacity: int, window_ms: float = 2.0, name: str = ""):
+        import queue
+
+        self.fn = fn
+        self.capacity = max(1, capacity)
+        self.window = window_ms / 1000.0
+        self.calls = 0          # device calls issued (see /stats)
+        self.requests = 0       # submissions coalesced into them
+        self._q = queue.Queue()
+        self._thread = threading.Thread(
+            target=self._run, daemon=True, name=f"microbatch-{name}"
+        )
+        self._thread.start()
+
+    def submit(self, arrays):
+        """arrays: per-argument [n, ...] rows. Returns a Future resolving
+        to the tuple of this request's output rows."""
+        from concurrent.futures import Future
+
+        f = Future()
+        self._q.put((arrays, f))
+        return f
+
+    def _run(self):
+        import queue
+
+        while True:
+            batch = [self._q.get()]
+            rows = len(batch[0][0][0])
+            deadline = time.monotonic() + self.window
+            while rows < self.capacity:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                batch.append(nxt)
+                rows += len(nxt[0][0])
+            try:
+                args = [
+                    np.concatenate([b[0][i] for b in batch])
+                    for i in range(len(batch[0][0]))
+                ]
+                out = self.fn(*args)
+                out = out if isinstance(out, tuple) else (out,)
+                self.calls += 1
+                self.requests += len(batch)
+                off = 0
+                for arrays, fut in batch:
+                    n = len(arrays[0])
+                    fut.set_result(tuple(o[off : off + n] for o in out))
+                    off += n
+            except Exception as e:  # deliver to every waiting request
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
 
 
 def _as_array(obj, name: str, ndim: int, last_dim: int | None = None) -> np.ndarray:
@@ -156,7 +234,7 @@ class ModelServer:
     """Request handling around one InferenceEngine. Pure logic — transport
     lives in `serve()` so tests can call handle() directly too."""
 
-    def __init__(self, engine: InferenceEngine, gmm=None):
+    def __init__(self, engine: InferenceEngine, gmm=None, micro_batch: bool = True):
         self.engine = engine
         # optional latent prior for /sample prior="gmm" — fetched to host
         # once: sampling an 18-dim GMM is host work (sample_np), and
@@ -169,6 +247,15 @@ class ModelServer:
         self.gmm = gmm
         self.stats = _Stats()
         self._device_lock = threading.Lock()
+        self._embed_b = self._decode_b = None
+        if micro_batch:
+            self._embed_b = _MicroBatcher(
+                self._locked(engine.encode_only_condition),
+                engine.batch_size, name="embed",
+            )
+            self._decode_b = _MicroBatcher(
+                self._locked(engine.decode), engine.batch_size, name="decode"
+            )
         cfg = engine.model.cfg
         ctx = engine.ctx
         self.info = {
@@ -202,6 +289,26 @@ class ModelServer:
             # (not reached through autoencode's encode); compile it too
             self.engine.encode_only_condition(pose, clo)
         return time.perf_counter() - t0
+
+    def _locked(self, fn):
+        def call(*args):
+            with self._device_lock:
+                return fn(*args)
+
+        return call
+
+    def _embed_then_decode(self, z: np.ndarray, pose: np.ndarray, clo: np.ndarray):
+        """The generation hot path (shared by /sample and /decode-with-z),
+        micro-batched across concurrent requests when enabled."""
+        if self._embed_b is not None:
+            y, y2 = self._embed_b.submit([pose, clo]).result()
+            zt = np.concatenate([z, y, y2], axis=-1)
+            (disp,) = self._decode_b.submit([zt, y, y2]).result()
+            return disp
+        with self._device_lock:
+            y, y2 = self.engine.encode_only_condition(pose, clo)
+            zt = np.concatenate([z, y, y2], axis=-1)
+            return self.engine.decode(zt, y, y2)
 
     # ----------------------------------------------------------- handlers
     def _conditions(self, body: dict, n: int | None = None):
@@ -253,16 +360,18 @@ class ModelServer:
                     f"y/y2 rows ({y.shape[0]}/{y2.shape[0]}) must be 1 or "
                     f"match z_total rows ({n})"
                 )
-            with self._device_lock:
-                disp = self.engine.decode(zt, y, y2)
+            if self._decode_b is not None:
+                from cape_tpu.apps.inference import broadcast_conditions
+
+                y, y2 = broadcast_conditions(y, y2, n)  # rows must align
+                (disp,) = self._decode_b.submit([zt, y, y2]).result()
+            else:
+                with self._device_lock:
+                    disp = self.engine.decode(zt, y, y2)
             return {"disp": disp}
         z = _as_array(body.get("z"), "z", 2, cfg.nz)
         pose, clo = self._conditions(body, n=z.shape[0])
-        with self._device_lock:
-            y, y2 = self.engine.encode_only_condition(pose, clo)
-            zt = np.concatenate([z, y, y2], axis=-1)
-            disp = self.engine.decode(zt, y, y2)
-        return {"disp": disp}
+        return {"disp": self._embed_then_decode(z, pose, clo)}
 
     def handle_reconstruct(self, body: dict) -> dict:
         disp = self._disp(body)
@@ -297,11 +406,7 @@ class ModelServer:
             z = np.random.default_rng(seed).standard_normal((n, cfg.nz)).astype(np.float32)
         else:
             raise ServerError(f"unknown prior {prior!r} (use 'normal' or 'gmm')")
-        with self._device_lock:
-            y, y2 = self.engine.encode_only_condition(pose, clo)
-            zt = np.concatenate([z, y, y2], axis=-1)
-            disp = self.engine.decode(zt, y, y2)
-        return {"disp": disp, "z": z}
+        return {"disp": self._embed_then_decode(z, pose, clo), "z": z}
 
     # ------------------------------------------------------------ routing
     _POST = {
@@ -326,7 +431,15 @@ class ModelServer:
             if method == "GET" and path == "/health":
                 return 200, dict(self.info)
             if method == "GET" and path == "/stats":
-                return 200, self.stats.snapshot()
+                snap = self.stats.snapshot()
+                if self._decode_b is not None:
+                    snap["(micro_batch)"] = {
+                        "embed_calls": self._embed_b.calls,
+                        "embed_requests": self._embed_b.requests,
+                        "decode_calls": self._decode_b.calls,
+                        "decode_requests": self._decode_b.requests,
+                    }
+                return 200, snap
             fn = self._POST.get(path) if method == "POST" else None
             if fn is None:
                 ok = False
@@ -407,11 +520,12 @@ def _make_handler(server: ModelServer):
 
 
 def serve(
-    engine: InferenceEngine, host: str = "127.0.0.1", port: int = 8080, gmm=None
+    engine: InferenceEngine, host: str = "127.0.0.1", port: int = 8080,
+    gmm=None, micro_batch: bool = True,
 ) -> tuple[ThreadingHTTPServer, ModelServer]:
     """Bind and return (httpd, model_server); caller runs
     httpd.serve_forever() (or spawns a thread — see tests/test_server.py)."""
-    ms = ModelServer(engine, gmm=gmm)
+    ms = ModelServer(engine, gmm=gmm, micro_batch=micro_batch)
     httpd = ThreadingHTTPServer((host, port), _make_handler(ms))
     return httpd, ms
 
@@ -435,6 +549,7 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--fresh-init", action="store_true")
     ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--no-micro-batch", action="store_true")
     ap.add_argument("--workdir", default="results")
     ap.add_argument("--artifact", default=None,
                     help="serve a .capex export instead of a checkpoint")
@@ -489,7 +604,9 @@ def main(argv=None):
         except Exception as e:
             print(f"GMM prior unavailable ({e}); /sample prior='gmm' disabled")
 
-    httpd, ms = serve(engine, own.host, own.port, gmm=gmm)
+    httpd, ms = serve(
+        engine, own.host, own.port, gmm=gmm, micro_batch=not own.no_micro_batch
+    )
     if not own.no_warmup:
         print("warming up (compiling endpoint executables)...", flush=True)
         print(f"warmup done in {ms.warmup():.1f}s", flush=True)

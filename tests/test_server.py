@@ -197,10 +197,12 @@ def test_stats_counts_requests(srv):
     assert stats["(unrouted)"]["requests"] >= 2
 
 
-def test_concurrent_requests_serialize_on_device(srv):
-    """The HTTP layer is threaded; device work funnels through one lock.
-    N concurrent /sample requests must all succeed with correct,
-    seed-deterministic bodies (no interleaving corruption)."""
+def test_concurrent_requests_coalesce_and_stay_correct(srv):
+    """The HTTP layer is threaded; device work micro-batches across
+    requests. N concurrent /sample requests must all succeed with
+    correct, seed-deterministic bodies (per-row math is independent of
+    batch neighbors), and the batcher must have coalesced at least some
+    of them into shared device calls."""
     import concurrent.futures
 
     base, _, cfg = srv
@@ -223,6 +225,9 @@ def test_concurrent_requests_serialize_on_device(srv):
         else:
             by_seed[seed] = disp
     assert not np.allclose(by_seed[1], by_seed[2])
+    mb = _req(base, "/stats")[1]["(micro_batch)"]
+    assert mb["decode_requests"] >= 6
+    assert mb["decode_calls"] < mb["decode_requests"]
 
 
 def test_mesh_parallel_serving_matches_single_device(srv_parts, srv):
