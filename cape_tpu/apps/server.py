@@ -42,12 +42,14 @@ serving is data-parallel at the process level: one server per chip
 behind any off-the-shelf HTTP load balancer.
 
 Dynamic micro-batching (on by default, --no-micro-batch to disable):
-concurrent /sample and /decode requests coalesce into one fixed-batch
-device call — the generation hot path's embed and decode each gather up
-to batch_size rows across requests, waiting at most ~2 ms after the
-first arrival. Per-row math is batch-independent, so coalesced results
-equal per-request results; under concurrent single-mesh load this turns
-N dispatch round-trips into ~N/batch_size. Device-call counts are
+concurrent /sample, /decode, /encode, and deterministic /reconstruct
+requests coalesce into shared fixed-batch device calls — the embed,
+encode, and decode stages each gather up to batch_size rows across
+requests, waiting at most ~2 ms after the first arrival. Per-row math
+is batch-independent, so coalesced results equal per-request results;
+under concurrent single-mesh load this turns N dispatch round-trips
+into ~N/batch_size. /reconstruct sample=true stays per-request: the
+device sampler takes one seed per call. Device-call counts are
 reported under "(micro_batch)" in /stats.
 """
 
@@ -247,7 +249,7 @@ class ModelServer:
         self.gmm = gmm
         self.stats = _Stats()
         self._device_lock = threading.Lock()
-        self._embed_b = self._decode_b = None
+        self._embed_b = self._decode_b = self._encode_b = None
         if micro_batch:
             self._embed_b = _MicroBatcher(
                 self._locked(engine.encode_only_condition),
@@ -255,6 +257,9 @@ class ModelServer:
             )
             self._decode_b = _MicroBatcher(
                 self._locked(engine.decode), engine.batch_size, name="decode"
+            )
+            self._encode_b = _MicroBatcher(
+                self._locked(engine.encode), engine.batch_size, name="encode"
             )
         cfg = engine.model.cfg
         ctx = engine.ctx
@@ -340,8 +345,11 @@ class ModelServer:
         pose, clo = self._conditions(body)
         if pose.shape[0] != disp.shape[0]:
             raise ServerError("disp and pose must have the same number of rows")
-        with self._device_lock:
-            z_mean, z_logvar, y, y2 = self.engine.encode(disp, pose, clo)
+        if self._encode_b is not None:
+            z_mean, z_logvar, y, y2 = self._encode_b.submit([disp, pose, clo]).result()
+        else:
+            with self._device_lock:
+                z_mean, z_logvar, y, y2 = self.engine.encode(disp, pose, clo)
         return {"z_mean": z_mean, "z_logvar": z_logvar, "y": y, "y2": y2}
 
     def handle_decode(self, body: dict) -> dict:
@@ -382,6 +390,16 @@ class ModelServer:
         # the integer seed goes straight into the engine's jitted sampler
         # (building a PRNGKey here would be an eager per-request dispatch)
         seed = _as_int(body, "seed", 0, min_value=0)
+        if not sample and self._encode_b is not None:
+            # deterministic path (z = posterior mean, inference.py:197-199):
+            # per-row math, so it coalesces across requests like /encode +
+            # /decode. sample=True stays on the engine path — its device
+            # sampler takes one seed per CALL, and requests carry distinct
+            # seeds, so coalescing would change which bits each row draws.
+            z_mean, _, y, y2 = self._encode_b.submit([disp, pose, clo]).result()
+            zt = np.concatenate([z_mean, y, y2], axis=-1)
+            (out,) = self._decode_b.submit([zt, y, y2]).result()
+            return {"disp": out}
         with self._device_lock:
             out = self.engine.autoencode(disp, pose, clo, rng=seed, sample=sample)
         return {"disp": out}
@@ -436,6 +454,8 @@ class ModelServer:
                     snap["(micro_batch)"] = {
                         "embed_calls": self._embed_b.calls,
                         "embed_requests": self._embed_b.requests,
+                        "encode_calls": self._encode_b.calls,
+                        "encode_requests": self._encode_b.requests,
                         "decode_calls": self._decode_b.calls,
                         "decode_requests": self._decode_b.requests,
                     }

@@ -38,6 +38,69 @@ from cape_tpu.apps.inference import BatchedCalls, broadcast_conditions
 
 _FNS = ("embed", "encode", "decode")
 
+# weight-matrix keys eligible for int8 quantization ("w": Chebyshev
+# filterbanks [K,Fin,Fout], "kernel": dense layers [Fin,Fout]); biases,
+# norm parameters, and the per-vertex output bias stay float — their
+# error would add directly to the output instead of averaging out over
+# a contraction
+_QUANT_KEYS = ("w", "kernel")
+
+
+def quantize_params(params, min_size: int = 1024):
+    """Weight-only int8, symmetric per-output-channel.
+
+    Returns a params-shaped pytree where each eligible weight leaf is
+    replaced by {"int8": int8 array, "scale": f32 [Fout]} with
+    scale = max|w| over all non-last axes / 127 (so w ~= int8 * scale).
+    `dequantize_params` inverts it inside the exported program; leaves
+    smaller than min_size stay float (no traffic to save)."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                arr = np.asarray(v) if not isinstance(v, dict) else None
+                if (
+                    k in _QUANT_KEYS
+                    and arr is not None
+                    and np.issubdtype(arr.dtype, np.floating)
+                    and arr.ndim >= 2
+                    and arr.size >= min_size
+                ):
+                    a = arr.astype(np.float32)
+                    scale = np.max(
+                        np.abs(a), axis=tuple(range(a.ndim - 1))
+                    ) / 127.0
+                    scale = np.maximum(scale, np.finfo(np.float32).tiny)
+                    q = np.clip(np.rint(a / scale), -127, 127).astype(np.int8)
+                    out[k] = {"int8": q, "scale": scale.astype(np.float32)}
+                else:
+                    out[k] = walk(v)
+            return out
+        return node
+
+    return walk(params)
+
+
+def dequantize_params(params):
+    """Trace-time inverse of quantize_params: int8 leaves dequantize to
+    f32 **through jax.lax.optimization_barrier**, which stops XLA from
+    constant-folding int8 * scale back into a full-width f32 constant —
+    the int8 table is what lives in HBM; the multiply runs on-chip."""
+    import jax
+    import jax.numpy as jnp
+
+    def is_q(x):
+        return isinstance(x, dict) and set(x) == {"int8", "scale"}
+
+    def deq(x):
+        if not is_q(x):
+            return x
+        q = jax.lax.optimization_barrier(jnp.asarray(x["int8"]))
+        return q.astype(jnp.float32) * x["scale"]
+
+    return jax.tree.map(deq, params, is_leaf=is_q)
+
 
 def build_export_fns(model, ctx, params, batch_size: int):
     """The three serving closures with params/ctx/permutation baked in.
@@ -58,17 +121,18 @@ def build_export_fns(model, ctx, params, batch_size: int):
         inv_perm = jnp.asarray(inv_perm)
 
     def embed(pose, clo):
-        return model.embed_conditions(params, pose, clo)
+        return model.embed_conditions(dequantize_params(params), pose, clo)
 
     def encode(disp, pose, clo):
-        y, y2 = model.embed_conditions(params, pose, clo)
+        p = dequantize_params(params)
+        y, y2 = model.embed_conditions(p, pose, clo)
         if perm is not None:
             disp = disp[:, perm]
-        z_mean, z_logvar = model.encode(params, ctx, disp, y, y2)
+        z_mean, z_logvar = model.encode(p, ctx, disp, y, y2)
         return z_mean, z_logvar, y, y2
 
     def decode(z_total, y, y2):
-        out = model.decode(params, ctx, z_total, y, y2)
+        out = model.decode(dequantize_params(params), ctx, z_total, y, y2)
         if inv_perm is not None:
             out = out[:, inv_perm]
         return out
@@ -96,6 +160,7 @@ def build_export_fns(model, ctx, params, batch_size: int):
 def export_model(
     model, ctx, params, batch_size: int, out_path: str,
     platforms=("cpu", "tpu"), symbolic_batch: bool = False,
+    quantize: str | None = None, constants_dtype: str | None = None,
 ) -> dict:
     """Write the artifact zip; returns the meta dict.
 
@@ -106,10 +171,35 @@ def export_model(
     use_pallas=False — the Pallas routing gate compares batch*channels
     against a threshold, which is inconclusive for a symbolic dim (and a
     Pallas custom-call would not be portable to the cpu lowering anyway;
-    the CLI forces this)."""
+    the CLI forces this).
+
+    Compression knobs (both shrink the artifact AND the serving-time HBM
+    weight/constant traffic — the baked tables are what the chip reads):
+      quantize="int8"   weight matrices become symmetric per-channel int8
+                        with an on-chip dequant multiply (quantize_params)
+      constants_dtype="bfloat16"  graph constants (banded Laplacian
+                        blocks, pool/unpool tables) bake at bf16 — for a
+                        compute_dtype=bfloat16 model this is numerically
+                        IDENTICAL to the live path, which casts the same
+                        f32 constants to bf16 at trace time
+    """
     import jax
     from jax import export as jexport
 
+    if quantize not in (None, "int8"):
+        raise ValueError(f"unsupported quantize mode {quantize!r}")
+    if quantize == "int8":
+        params = quantize_params(params)
+    if constants_dtype:
+        import jax.numpy as jnp
+
+        cd = jnp.dtype(constants_dtype)
+        ctx = jax.tree.map(
+            lambda a: a.astype(cd)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a,
+            ctx,
+        )
     fns, specs = build_export_fns(model, ctx, params, batch_size)
     if symbolic_batch:
         (b,) = jexport.symbolic_shape("b")
@@ -126,6 +216,8 @@ def export_model(
         "batch_size": batch_size,
         "symbolic_batch": bool(symbolic_batch),
         "num_verts": int(ctx.level_sizes[0]),
+        "quantize": quantize,
+        "constants_dtype": constants_dtype,
         "nz": cfg.nz,
         "nz_cond": cfg.nz_cond,
         "nz_cond2": cfg.nz_cond2,
@@ -266,6 +358,10 @@ def main(argv=None):
     ap.add_argument("--export-platforms", default="cpu,tpu")
     ap.add_argument("--symbolic-batch", action="store_true",
                     help="lower the batch dim symbolically: one artifact, any batch size")
+    ap.add_argument("--quantize", default=None, choices=["int8"],
+                    help="weight-only int8 (symmetric per-channel, on-chip dequant)")
+    ap.add_argument("--constants-dtype", default=None,
+                    help="bake graph constants at this dtype (e.g. bfloat16)")
     own, rest = ap.parse_known_args(argv)
     if own.platform:
         jax.config.update("jax_platforms", own.platform)
@@ -294,6 +390,7 @@ def main(argv=None):
         model, ctx, params, cfg.batch_size, own.out,
         platforms=tuple(p for p in own.export_platforms.split(",") if p),
         symbolic_batch=own.symbolic_batch,
+        quantize=own.quantize, constants_dtype=own.constants_dtype,
     )
     import os
 

@@ -122,6 +122,61 @@ def test_symbolic_batch_export(exported, tmp_path):
         )
 
 
+def test_quantized_export_smaller_and_close(exported, tmp_path):
+    """--quantize int8 (+ bf16 graph constants): the artifact shrinks and
+    the outputs stay close to the f32 export — weight-only symmetric
+    per-channel int8 with on-chip dequant (quantize_params), biases and
+    norm parameters untouched."""
+    import os
+
+    path32, _, engine, cfg = exported
+    path8 = str(tmp_path / "q.capex")
+    verts, _ = assets.template_mesh()
+    ctx = build_graph_context(
+        assets.load_pyramid("for_demo"), assets.load_pyramid("ds2"),
+        assets.smpl_edges(), verts,
+    )
+    meta = export_model(
+        engine.model, ctx, jax.device_get(engine.params), 4, path8,
+        platforms=("cpu",), quantize="int8", constants_dtype="bfloat16",
+    )
+    assert meta["quantize"] == "int8"
+    assert meta["constants_dtype"] == "bfloat16"
+    # int8 weights + bf16 constants must shrink the serialized programs;
+    # the f32 baseline carries both at full width (cpu+tpu vs cpu-only
+    # platforms does not change constant storage, which dominates)
+    assert os.path.getsize(path8) < 0.7 * os.path.getsize(path32)
+
+    em = ExportedModel.load(path8)
+    rng = np.random.default_rng(4)
+    zt = rng.standard_normal(
+        (4, cfg.nz + cfg.nz_cond + cfg.nz_cond2)
+    ).astype(np.float32)
+    y = rng.standard_normal((4, cfg.nz_cond)).astype(np.float32)
+    y2 = rng.standard_normal((4, cfg.nz_cond2)).astype(np.float32)
+    out_q = em.decode(zt, y, y2)
+    out_f = engine.decode(zt, y, y2)
+    assert np.isfinite(out_q).all()
+    rel = np.linalg.norm(out_q - out_f) / np.linalg.norm(out_f)
+    assert rel < 0.05, f"int8 output drift {rel:.4f}"
+
+    # the quantizer itself: int8 payloads, per-output-channel scales,
+    # small relative weight error, non-weight leaves untouched
+    from cape_tpu.tools.export_model import dequantize_params, quantize_params
+
+    p = jax.device_get(engine.params)
+    q = quantize_params(p)
+    w = p["generator"]["decoder"]["fc1"]["kernel"]
+    ql = q["generator"]["decoder"]["fc1"]["kernel"]
+    assert ql["int8"].dtype == np.int8 and ql["scale"].shape == (w.shape[-1],)
+    back = np.asarray(jax.device_get(dequantize_params(q)
+        ["generator"]["decoder"]["fc1"]["kernel"]))
+    assert np.linalg.norm(back - w) / np.linalg.norm(w) < 0.01
+    np.testing.assert_array_equal(
+        q["generator"]["decoder"]["out"]["b"], p["generator"]["decoder"]["out"]["b"]
+    )
+
+
 def test_rejects_non_artifact(tmp_path):
     bad = tmp_path / "bad.capex"
     with zipfile.ZipFile(bad, "w") as zf:

@@ -230,6 +230,48 @@ def test_concurrent_requests_coalesce_and_stay_correct(srv):
     assert mb["decode_calls"] < mb["decode_requests"]
 
 
+def test_concurrent_encode_and_reconstruct_coalesce(srv):
+    """/encode and deterministic /reconstruct share the encode batcher;
+    concurrent mixed traffic coalesces and every response still matches
+    the direct-engine result for its own rows."""
+    import concurrent.futures
+
+    base, engine, cfg = srv
+    rng = np.random.default_rng(3)
+    disp = rng.standard_normal((8, 6890, 3)).astype(np.float32) * 0.01
+    pose = rng.standard_normal((8, cfg.cond_dim)).astype(np.float32)
+    clo = np.tile(np.eye(cfg.cond2_dim, dtype=np.float32)[:1], (8, 1))
+
+    def one(i):
+        body = {
+            "disp": disp[i : i + 1].tolist(),
+            "pose": pose[i : i + 1].tolist(),
+            "clo": clo[i : i + 1].tolist(),
+        }
+        path = "/encode" if i % 2 == 0 else "/reconstruct"
+        return i, path, _req(base, path, body)
+
+    before = _req(base, "/stats")[1]["(micro_batch)"]
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(one, range(8)))
+    zm_all, *_ = engine.encode(disp, pose, clo)
+    rec_all = engine.autoencode(disp, pose, clo, sample=False)
+    for i, path, (status, r) in results:
+        assert status == 200
+        if path == "/encode":
+            np.testing.assert_allclose(
+                np.asarray(r["z_mean"]), zm_all[i : i + 1], rtol=0, atol=1e-5
+            )
+        else:
+            np.testing.assert_allclose(
+                np.asarray(r["disp"]), rec_all[i : i + 1], rtol=0, atol=1e-5
+            )
+    after = _req(base, "/stats")[1]["(micro_batch)"]
+    new_req = after["encode_requests"] - before["encode_requests"]
+    new_calls = after["encode_calls"] - before["encode_calls"]
+    assert new_req == 8 and new_calls < new_req
+
+
 def test_mesh_parallel_serving_matches_single_device(srv_parts, srv):
     """One server process over a 2-device mesh (engine dp=) returns the
     same bytes as the single-device server for the same seed."""
@@ -239,7 +281,8 @@ def test_mesh_parallel_serving_matches_single_device(srv_parts, srv):
 
     model, ctx, params, cfg = srv_parts
     engine = InferenceEngine(model, ctx, params, batch_size=2, dp=DataParallel(2))
-    httpd, _ = serve(engine, "127.0.0.1", 0)
+    httpd, ms = serve(engine, "127.0.0.1", 0)
+    ms.warmup()  # compile outside the HTTP request timeout (loaded-box flake)
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
     base_dp = f"http://127.0.0.1:{httpd.server_address[1]}"
