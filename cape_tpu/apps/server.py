@@ -302,6 +302,53 @@ class ModelServer:
 
         return call
 
+    def metrics_text(self) -> str:
+        """Prometheus text exposition (version 0.0.4) of the same numbers
+        /stats reports as JSON: request/error counters, latency quantiles
+        over the ring window, micro-batch coalescing counters, and one
+        cape_model_info gauge carrying the model identity labels."""
+        esc = lambda s: str(s).replace("\\", "\\\\").replace('"', '\\"')
+        lines = [
+            "# TYPE cape_requests_total counter",
+            "# TYPE cape_request_errors_total counter",
+            "# TYPE cape_request_latency_ms summary",
+            "# TYPE cape_microbatch_requests_total counter",
+            "# TYPE cape_microbatch_device_calls_total counter",
+            "# TYPE cape_model_info gauge",
+        ]
+        info = self.info
+        lines.append(
+            'cape_model_info{model="%s",batch_size="%s",compute_dtype="%s"} 1'
+            % (esc(info["model"]), info["batch_size"], esc(info["compute_dtype"]))
+        )
+        for ep, row in self.stats.snapshot().items():
+            label = f'endpoint="{esc(ep)}"'
+            lines.append("cape_requests_total{%s} %d" % (label, row["requests"]))
+            lines.append(
+                "cape_request_errors_total{%s} %d" % (label, row["errors"])
+            )
+            for q, key in (("0.5", "latency_ms_p50"), ("0.95", "latency_ms_p95")):
+                if row[key] is not None:
+                    lines.append(
+                        'cape_request_latency_ms{%s,quantile="%s"} %s'
+                        % (label, q, row[key])
+                    )
+        if self._decode_b is not None:
+            for stage, b in (
+                ("embed", self._embed_b),
+                ("encode", self._encode_b),
+                ("decode", self._decode_b),
+            ):
+                lines.append(
+                    'cape_microbatch_requests_total{stage="%s"} %d'
+                    % (stage, b.requests)
+                )
+                lines.append(
+                    'cape_microbatch_device_calls_total{stage="%s"} %d'
+                    % (stage, b.calls)
+                )
+        return "\n".join(lines) + "\n"
+
     def _embed_then_decode(self, z: np.ndarray, pose: np.ndarray, clo: np.ndarray):
         """The generation hot path (shared by /sample and /decode-with-z),
         micro-batched across concurrent requests when enabled."""
@@ -503,6 +550,14 @@ def _make_handler(server: ModelServer):
             self.wfile.write(data)
 
         def do_GET(self):
+            if self.path == "/metrics":  # Prometheus scrape: plain text,
+                # not recorded in stats (a 15 s scrape would flood the
+                # latency ring the endpoint itself reports)
+                self._reply_bytes(
+                    200, server.metrics_text().encode(),
+                    "text/plain; version=0.0.4",
+                )
+                return
             status, payload = server.handle("GET", self.path, None)
             self._reply(status, payload)
 
@@ -570,10 +625,15 @@ def main(argv=None):
     ap.add_argument("--fresh-init", action="store_true")
     ap.add_argument("--no-warmup", action="store_true")
     ap.add_argument("--no-micro-batch", action="store_true")
+    ap.add_argument("--platform", default=None,
+                    help="jax runtime platform (e.g. cpu — serve an artifact "
+                         "on a CPU host; artifacts carry cpu+tpu lowerings)")
     ap.add_argument("--workdir", default="results")
     ap.add_argument("--artifact", default=None,
                     help="serve a .capex export instead of a checkpoint")
     own, rest = ap.parse_known_args(argv)
+    if own.platform:
+        jax.config.update("jax_platforms", own.platform)
 
     if own.artifact:
         if rest:
@@ -627,16 +687,40 @@ def main(argv=None):
     httpd, ms = serve(
         engine, own.host, own.port, gmm=gmm, micro_batch=not own.no_micro_batch
     )
+
+    # graceful shutdown: SIGTERM (orchestrator stop) and SIGINT stop the
+    # accept loop from a side thread (calling httpd.shutdown() from the
+    # signal handler's thread would deadlock serve_forever); before the
+    # socket closes we take the device lock once so an in-flight device
+    # call finishes instead of being cut mid-execution. Registered BEFORE
+    # the port is announced: an orchestrator may stop us the moment it
+    # sees the server as up
+    import signal
+
+    def _stop(signum, frame):
+        print(f"received signal {signum}: draining", flush=True)
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _stop)
+    signal.signal(signal.SIGINT, _stop)
+
     if not own.no_warmup:
         print("warming up (compiling endpoint executables)...", flush=True)
         print(f"warmup done in {ms.warmup():.1f}s", flush=True)
-    print(f"serving {name} on http://{own.host}:{own.port}", flush=True)
+    # report the BOUND port (--port 0 asks the OS for a free one)
+    print(
+        f"serving {name} on http://{own.host}:{httpd.server_address[1]}",
+        flush=True,
+    )
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
+        with ms._device_lock:
+            pass
         httpd.server_close()
+        print("server closed", flush=True)
 
 
 if __name__ == "__main__":

@@ -228,6 +228,40 @@ def test_artifact_serving(exported):
 
 
 @pytest.mark.slow
+def test_sigterm_graceful_shutdown(exported):
+    """The server CLI drains on SIGTERM: stops accepting, waits for any
+    in-flight device call, closes the socket, exits 0 (what a container
+    orchestrator sends on stop). Artifact mode + --platform cpu keeps the
+    subprocess off the remote backend."""
+    import signal
+    import time
+
+    path, *_ = exported
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "cape_tpu.apps.server",
+            "--artifact", path, "--platform", "cpu", "--port", "0",
+            "--no-warmup",
+        ],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        deadline = time.monotonic() + 300
+        for line in proc.stdout:
+            if "serving" in line:
+                break
+            assert time.monotonic() < deadline, "server never announced"
+        proc.send_signal(signal.SIGTERM)
+        out = proc.stdout.read()
+        proc.wait(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0
+    assert "draining" in out and "server closed" in out
+
+
+@pytest.mark.slow
 def test_cli_round_trip(tmp_path):
     out = tmp_path / "cli.capex"
     subprocess.run(

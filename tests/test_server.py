@@ -368,6 +368,33 @@ def test_npz_and_json_wires_agree(srv):
     assert ei.value.code == 400
 
 
+def test_metrics_prometheus_exposition(srv):
+    """GET /metrics mirrors /stats in Prometheus text format: counters,
+    latency quantiles, micro-batch coalescing, and the model-info gauge."""
+    base, _, cfg = srv
+    ok_body = {
+        "n": 1,
+        "pose": np.zeros((1, cfg.cond_dim)).tolist(),
+        "clo": np.eye(cfg.cond2_dim)[:1].tolist(),
+    }
+    assert _req(base, "/sample", ok_body)[0] == 200
+    with urllib.request.urlopen(base + "/metrics", timeout=30) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        text = resp.read().decode()
+    assert 'cape_model_info{model="server_test"' in text
+    assert 'cape_requests_total{endpoint="POST /sample"}' in text
+    assert 'quantile="0.95"' in text
+    assert 'cape_microbatch_device_calls_total{stage="decode"}' in text
+    # every sample line parses as `name{labels} value`
+    for line in text.splitlines():
+        if line.startswith("#") or not line:
+            continue
+        name_labels, value = line.rsplit(" ", 1)
+        float(value)
+        assert name_labels.startswith("cape_") and name_labels.endswith("}")
+
+
 def test_sample_bad_n_is_client_error(srv):
     base, _, cfg = srv
     body = {
