@@ -102,10 +102,13 @@ class CapeClient:
 
     def decode(self, z=None, pose=None, clo=None, z_total=None, y=None, y2=None):
         """Either (z, pose, clo) or the pre-embedded (z_total, y, y2)."""
+        arr = lambda v: None if v is None else np.asarray(v)
         if z_total is not None:
-            body = {"z_total": np.asarray(z_total), "y": np.asarray(y), "y2": np.asarray(y2)}
+            # keep None as None (dropped by _post) so a missing y/y2 is the
+            # server's clean 400, not np.asarray(None) pickled into the npz
+            body = {"z_total": arr(z_total), "y": arr(y), "y2": arr(y2)}
         else:
-            body = {"z": np.asarray(z), "pose": np.asarray(pose), "clo": np.asarray(clo)}
+            body = {"z": arr(z), "pose": arr(pose), "clo": arr(clo)}
         return np.asarray(self._post("/decode", body)["disp"], np.float32)
 
     def reconstruct(self, disp, pose, clo, sample: bool = False, seed: int = 0):

@@ -249,6 +249,8 @@ class ModelServer:
         self.gmm = gmm
         self.stats = _Stats()
         self._device_lock = threading.Lock()
+        self._inflight = 0
+        self._inflight_cv = threading.Condition()
         self._embed_b = self._decode_b = self._encode_b = None
         if micro_batch:
             self._embed_b = _MicroBatcher(
@@ -302,12 +304,49 @@ class ModelServer:
 
         return call
 
+    def track_request(self):
+        """Context manager the transport wraps around each request —
+        spans parsing, device work, AND response serialization, so
+        drain() can wait for complete responses, not just device calls."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def span():
+            with self._inflight_cv:
+                self._inflight += 1
+            try:
+                yield
+            finally:
+                with self._inflight_cv:
+                    self._inflight -= 1
+                    self._inflight_cv.notify_all()
+
+        return span()
+
+    def drain(self, timeout: float = 30.0) -> bool:
+        """Block until every in-flight request has fully completed
+        (response bytes written), or the timeout passes. Idle keep-alive
+        connections don't count — nothing of theirs is cut by exiting."""
+        deadline = time.monotonic() + timeout
+        with self._inflight_cv:
+            while self._inflight > 0:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return False
+                self._inflight_cv.wait(remaining)
+        return True
+
     def metrics_text(self) -> str:
         """Prometheus text exposition (version 0.0.4) of the same numbers
         /stats reports as JSON: request/error counters, latency quantiles
         over the ring window, micro-batch coalescing counters, and one
         cape_model_info gauge carrying the model identity labels."""
-        esc = lambda s: str(s).replace("\\", "\\\\").replace('"', '\\"')
+        esc = (
+            lambda s: str(s)
+            .replace("\\", "\\\\")
+            .replace('"', '\\"')
+            .replace("\n", "\\n")  # exposition format 0.0.4 label escaping
+        )
         lines = [
             "# TYPE cape_requests_total counter",
             "# TYPE cape_request_errors_total counter",
@@ -351,15 +390,23 @@ class ModelServer:
 
     def _embed_then_decode(self, z: np.ndarray, pose: np.ndarray, clo: np.ndarray):
         """The generation hot path (shared by /sample and /decode-with-z),
-        micro-batched across concurrent requests when enabled."""
+        micro-batched across concurrent requests when enabled. pose/clo may
+        have 1 row for n z-rows: the condition net runs on the unique row
+        and the embedding broadcasts host-side — one embed device call
+        instead of ceil(n/batch) identical ones."""
+        from cape_tpu.apps.inference import broadcast_conditions
+
         if self._embed_b is not None:
             y, y2 = self._embed_b.submit([pose, clo]).result()
-            zt = np.concatenate([z, y, y2], axis=-1)
+        else:
+            with self._device_lock:
+                y, y2 = self.engine.encode_only_condition(pose, clo)
+        y, y2 = broadcast_conditions(y, y2, len(z))
+        zt = np.concatenate([z, y, y2], axis=-1)
+        if self._decode_b is not None:
             (disp,) = self._decode_b.submit([zt, y, y2]).result()
             return disp
         with self._device_lock:
-            y, y2 = self.engine.encode_only_condition(pose, clo)
-            zt = np.concatenate([z, y, y2], axis=-1)
             return self.engine.decode(zt, y, y2)
 
     # ----------------------------------------------------------- handlers
@@ -367,15 +414,19 @@ class ModelServer:
         cfg = self.engine.model.cfg
         pose = _as_array(body.get("pose"), "pose", 2, cfg.cond_dim)
         clo = _as_array(body.get("clo"), "clo", 2, cfg.cond2_dim)
-        if n is not None:  # broadcast single condition rows over n samples
-            if pose.shape[0] == 1:
-                pose = np.repeat(pose, n, axis=0)
-            if clo.shape[0] == 1:
-                clo = np.repeat(clo, n, axis=0)
-            if pose.shape[0] != n or clo.shape[0] != n:
+        if n is not None:
+            # rows may be 1 (broadcast over n samples) or n. Align pose/clo
+            # to each other but do NOT tile to n here — _embed_then_decode
+            # embeds the unique rows and broadcasts the embedding instead
+            if pose.shape[0] not in (1, n) or clo.shape[0] not in (1, n):
                 raise ServerError(
                     f"pose/clo rows ({pose.shape[0]}/{clo.shape[0]}) must be 1 or n={n}"
                 )
+            r = max(pose.shape[0], clo.shape[0])
+            if pose.shape[0] != r:
+                pose = np.repeat(pose, r, axis=0)
+            if clo.shape[0] != r:
+                clo = np.repeat(clo, r, axis=0)
         elif pose.shape[0] != clo.shape[0]:
             raise ServerError("pose and clo must have the same number of rows")
         return pose, clo
@@ -534,6 +585,9 @@ def _make_handler(server: ModelServer):
         # ThreadingHTTPServer default is HTTP/1.0-style close-per-request;
         # keep-alive matters for latency-sensitive clients
         protocol_version = "HTTP/1.1"
+        # reap dead/stalled connections: without a socket timeout a client
+        # that stops sending mid-body pins its handler thread forever
+        timeout = 300
 
         def log_message(self, fmt, *args):  # route through stats, not stderr
             pass
@@ -550,6 +604,14 @@ def _make_handler(server: ModelServer):
             self.wfile.write(data)
 
         def do_GET(self):
+            with server.track_request():
+                self._do_get()
+
+        def do_POST(self):
+            with server.track_request():
+                self._do_post()
+
+        def _do_get(self):
             if self.path == "/metrics":  # Prometheus scrape: plain text,
                 # not recorded in stats (a 15 s scrape would flood the
                 # latency ring the endpoint itself reports)
@@ -561,16 +623,17 @@ def _make_handler(server: ModelServer):
             status, payload = server.handle("GET", self.path, None)
             self._reply(status, payload)
 
-        def do_POST(self):
+        def _do_post(self):
             is_npz_req = NPZ_CONTENT_TYPE in (self.headers.get("Content-Type") or "")
             wants_npz = is_npz_req or (
                 NPZ_CONTENT_TYPE in (self.headers.get("Accept") or "")
             )
             try:
                 length = int(self.headers.get("Content-Length", 0))
-                if length > 512 << 20:
+                if length < 0 or length > 512 << 20:
                     # the unread body would desync a kept-alive connection
-                    # (its bytes would parse as the next request line)
+                    # (its bytes would parse as the next request line); a
+                    # negative length would make read() block until EOF
                     self.close_connection = True
                     self._reply(413, {"error": "request body too large"})
                     return
@@ -636,10 +699,16 @@ def main(argv=None):
         jax.config.update("jax_platforms", own.platform)
 
     if own.artifact:
+        # checkpoint-mode flags (batch size, mesh, config, --fresh-init,
+        # --workdir, ...) cannot apply to a baked artifact; silently
+        # ignoring them would let an operator believe they configured
+        # something (e.g. --fresh-init "smoke server" quietly serving the
+        # artifact's baked trained params)
+        if own.fresh_init:
+            rest = ["--fresh-init"] + rest
+        if own.workdir != "results":
+            rest = ["--workdir", own.workdir] + rest
         if rest:
-            # checkpoint-mode flags (batch size, mesh, config, ...) cannot
-            # apply to a baked artifact; silently ignoring them would let
-            # an operator believe they configured something
             print(f"error: unsupported flags with --artifact: {rest}", file=sys.stderr)
             sys.exit(2)
         from cape_tpu.tools.export_model import ExportedEngine, ExportedModel
@@ -691,10 +760,11 @@ def main(argv=None):
     # graceful shutdown: SIGTERM (orchestrator stop) and SIGINT stop the
     # accept loop from a side thread (calling httpd.shutdown() from the
     # signal handler's thread would deadlock serve_forever); before the
-    # socket closes we take the device lock once so an in-flight device
-    # call finishes instead of being cut mid-execution. Registered BEFORE
-    # the port is announced: an orchestrator may stop us the moment it
-    # sees the server as up
+    # socket closes, ms.drain() waits for every in-flight request to
+    # finish — device compute and response serialization (handler threads
+    # are daemons; without the drain, interpreter exit would cut them
+    # mid-response). Registered BEFORE the port is announced: an
+    # orchestrator may stop us the moment it sees the server as up
     import signal
 
     def _stop(signum, frame):
@@ -717,8 +787,8 @@ def main(argv=None):
     except KeyboardInterrupt:
         pass
     finally:
-        with ms._device_lock:
-            pass
+        if not ms.drain(timeout=30.0):
+            print("drain timed out with requests in flight", flush=True)
         httpd.server_close()
         print("server closed", flush=True)
 

@@ -38,9 +38,3 @@ def enabled() -> bool:
 def set_enabled(value: bool) -> None:
     global _enabled
     _enabled = bool(value)
-
-
-def killed() -> bool:
-    """Global kill switch: CAPE_TPU_PALLAS=0 disables every Pallas kernel,
-    including the auto-selected large-batch v3 path (ADVICE round 2)."""
-    return override() is False

@@ -11,6 +11,8 @@ groups to amortize the ~29 ms sync round-trip.
   python -m cape_tpu.tools.perf_lab step     # full train step at batch/dtype/K
   python -m cape_tpu.tools.perf_lab trace    # device-time attribution by source
   python -m cape_tpu.tools.perf_lab serve    # decode latency / recon throughput
+  python -m cape_tpu.tools.perf_lab artifact # .capex decode (f32 vs int8 A/B)
+  python -m cape_tpu.tools.perf_lab concurrency  # live-server load (micro-batch A/B)
 """
 
 from __future__ import annotations
@@ -776,6 +778,110 @@ def cmd_http(args):
               f"p95 {s['latency_ms_p95']} ms")
 
 
+def cmd_artifact(args):
+    """Decode latency of an exported .capex artifact on the attached
+    backend, chained-loop protocol as in `serve`. Primary use: A/B a
+    compressed export (export_model --quantize int8 --constants-dtype
+    bfloat16) against its uncompressed twin — the int8/bf16 tables are
+    what HBM reads at serving time."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cape_tpu.tools.export_model import ExportedModel
+
+    em = ExportedModel.load(args.path)
+    m = em.meta
+    B = args.batch if (args.batch and m.get("symbolic_batch")) else m["batch_size"]
+    rng = np.random.default_rng(0)
+    zt = jnp.asarray(
+        rng.standard_normal((B, m["nz"] + m["nz_cond"] + m["nz_cond2"])), jnp.float32
+    )
+    y = jnp.asarray(rng.standard_normal((B, m["nz_cond"])), jnp.float32)
+    y2 = jnp.asarray(rng.standard_normal((B, m["nz_cond2"])), jnp.float32)
+    call = em._calls["decode"]
+
+    def step(z, y, y2):
+        out = call(z, y, y2)
+        # non-elidable data dependence, negligible added cost (cmd_serve)
+        return z + (jnp.sum(out) * 1e-30).astype(z.dtype)
+
+    ms = _timed_chained(step, zt, (y, y2), inner=args.inner)
+    for _ in range(3):
+        out = call(zt, y, y2)
+    jax.device_get(np.asarray(jnp.sum(out)))
+    lats = []
+    for _ in range(16):
+        t0 = time.perf_counter()
+        out = call(zt, y, y2)
+        jax.device_get(jnp.sum(out))
+        lats.append(time.perf_counter() - t0)
+    lats.sort()
+    print(json.dumps({
+        "bench": "artifact", "path": args.path, "batch": B,
+        "quantize": m.get("quantize"), "constants_dtype": m.get("constants_dtype"),
+        "inner": args.inner,
+        "decode_ms_per_call": round(ms, 3),
+        "decode_meshes_per_sec": round(B / (ms / 1000.0), 1),
+        "single_call_decode_ms_incl_dispatch": round(
+            1000.0 * lats[len(lats) // 2], 3
+        ),
+    }), flush=True)
+
+
+def cmd_concurrency(args):
+    """Aggregate serving throughput under concurrent load against a LIVE
+    server: --threads clients each issue /sample requests (--rows meshes
+    per request) for --seconds. Reports req/s, mesh/s, client latency
+    quantiles, and the server's micro-batch coalescing delta. A/B: run
+    against a default server, then one started with --no-micro-batch."""
+    import concurrent.futures
+
+    import numpy as np
+
+    from cape_tpu.apps.client import CapeClient
+
+    probe = CapeClient(args.url)
+    h = probe.health()
+    print(f"# target {args.url}: model={h['model']} batch={h['batch_size']} "
+          f"dtype={h['compute_dtype']} threads={args.threads} rows={args.rows}")
+    pose = np.zeros((1, h["cond_dim"]), np.float32)
+    clo = np.zeros((1, h["cond2_dim"]), np.float32)
+    probe.sample(pose, clo, n=args.rows, seed=0)  # compile warmup
+    mb0 = probe.stats().get("(micro_batch)")
+
+    stop_at = time.monotonic() + args.seconds
+
+    def worker(i):
+        c = CapeClient(args.url)
+        lats = []
+        while time.monotonic() < stop_at:
+            t0 = time.perf_counter()
+            c.sample(pose, clo, n=args.rows, seed=i)
+            lats.append(1000.0 * (time.perf_counter() - t0))
+        return lats
+
+    t_start = time.monotonic()
+    with concurrent.futures.ThreadPoolExecutor(args.threads) as ex:
+        all_lats = [v for lats in ex.map(worker, range(args.threads)) for v in lats]
+    elapsed = time.monotonic() - t_start
+    all_lats.sort()
+    q = lambda p: all_lats[min(len(all_lats) - 1, int(p * len(all_lats)))]
+    out = {
+        "bench": "concurrency", "threads": args.threads, "rows": args.rows,
+        "seconds": round(elapsed, 1), "requests": len(all_lats),
+        "req_per_sec": round(len(all_lats) / elapsed, 1),
+        "meshes_per_sec": round(len(all_lats) * args.rows / elapsed, 1),
+        "latency_ms_p50": round(q(0.50), 2), "latency_ms_p95": round(q(0.95), 2),
+    }
+    mb1 = probe.stats().get("(micro_batch)")
+    if mb0 and mb1:
+        dreq = mb1["decode_requests"] - mb0["decode_requests"]
+        dcall = mb1["decode_calls"] - mb0["decode_calls"]
+        out["decode_requests_per_device_call"] = round(dreq / max(1, dcall), 2)
+    print(json.dumps(out), flush=True)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -820,10 +926,21 @@ def main(argv=None):
     ph.add_argument("--batch", type=int, default=16)
     ph.add_argument("--reps", type=int, default=50)
     ph.add_argument("--wire", default="both", choices=("both", "npz", "json"))
+    pa = sub.add_parser("artifact")
+    pa.add_argument("path", help=".capex artifact to time")
+    pa.add_argument("--batch", type=int, default=None,
+                    help="batch size (symbolic-batch artifacts only)")
+    pa.add_argument("--inner", type=int, default=128)
+    pn = sub.add_parser("concurrency")
+    pn.add_argument("--url", default="http://127.0.0.1:8080")
+    pn.add_argument("--threads", type=int, default=16)
+    pn.add_argument("--rows", type=int, default=1, help="meshes per request")
+    pn.add_argument("--seconds", type=float, default=20.0)
     args = p.parse_args(argv)
     {"conv": cmd_conv, "layout": cmd_layout, "parts": cmd_parts,
      "fuse": cmd_fuse, "bmapply": cmd_bmapply, "step": cmd_step,
-     "trace": cmd_trace, "serve": cmd_serve, "http": cmd_http}[args.cmd](args)
+     "trace": cmd_trace, "serve": cmd_serve, "http": cmd_http,
+     "artifact": cmd_artifact, "concurrency": cmd_concurrency}[args.cmd](args)
 
 
 if __name__ == "__main__":

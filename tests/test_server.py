@@ -419,6 +419,63 @@ def test_sample_bad_n_is_client_error(srv):
     assert status == 400
 
 
+def test_drain_waits_for_inflight_requests(srv):
+    """drain() blocks while a tracked request is open (through response
+    serialization) and returns promptly once it closes — the guarantee
+    the SIGTERM path builds on."""
+    import time
+
+    from cape_tpu.apps.server import ModelServer
+
+    _, engine, _ = srv
+    ms = ModelServer(engine, micro_batch=False)
+    assert ms.drain(timeout=0.1)  # nothing in flight
+    release = threading.Event()
+    started = threading.Event()
+
+    def busy():
+        with ms.track_request():
+            started.set()
+            release.wait()
+
+    t = threading.Thread(target=busy)
+    t.start()
+    assert started.wait(5)
+    assert not ms.drain(timeout=0.2)  # blocked on the open request
+    release.set()
+    assert ms.drain(timeout=5.0)
+    t.join(timeout=5)
+
+
+def test_npz_missing_field_is_clean_400(srv):
+    """Omitted optional arrays must reach the server as ABSENT fields, not
+    np.asarray(None) object arrays pickled into the npz body — the error
+    is the endpoint's 'missing required field', not an npz parse failure."""
+    from cape_tpu.apps.client import CapeClient, CapeServerError
+
+    base, _, cfg = srv
+    c = CapeClient(base, wire="npz")
+    zt = np.zeros((2, cfg.nz + cfg.nz_cond + cfg.nz_cond2), np.float32)
+    with pytest.raises(CapeServerError, match="missing required field 'y'"):
+        c.decode(z_total=zt)
+
+
+def test_negative_content_length_rejected(srv):
+    """Content-Length: -1 must not reach rfile.read(-1) (which would block
+    until the client closes, pinning the handler thread)."""
+    import socket
+
+    base, _, _ = srv
+    host, port = base.removeprefix("http://").split(":")
+    with socket.create_connection((host, int(port)), timeout=30) as s:
+        s.sendall(
+            b"POST /sample HTTP/1.1\r\nHost: t\r\n"
+            b"Content-Type: application/json\r\nContent-Length: -1\r\n\r\n"
+        )
+        reply = s.recv(4096).decode()
+    assert reply.startswith("HTTP/1.1 413")
+
+
 def test_decode_pre_embedded_row_mismatch_rejected(srv):
     base, engine, cfg = srv
     zt = np.zeros((4, cfg.nz + cfg.nz_cond + cfg.nz_cond2), np.float32)
