@@ -20,6 +20,8 @@ first failure):
   accept  tools.acceptance against the packed test split + checkpoint
   convert TF variables -> cape_tpu params .npz (tools.tf_ckpt_converter)
   demo    simple demo CLI from the converted .npz (apps.simple_demo)
+  deploy  trained checkpoint -> compressed .capex export -> model server
+          -> client /sample round trip (tools.export_model, apps.server)
 
 With no --raw/--tf_ckpt this is a CI-mode smoke of the glue (the
 acceptance metric is then judged against a pass-anything threshold; the
@@ -191,6 +193,49 @@ def main(argv=None) -> None:
         objs += [f for f in files if f.endswith(".obj")]
     assert objs, f"demo produced no meshes under {demo_dir}"
     print(f"DRILL demo ok: {len(objs)} meshes", flush=True)
+
+    # ----------------------------------------------------------- 6. deploy
+    # trained checkpoint -> compressed single-file artifact -> served over
+    # HTTP -> client round trip: the deployment handoff, end to end
+    import threading
+
+    from cape_tpu.apps.client import CapeClient
+    from cape_tpu.apps.main import restore_params
+    from cape_tpu.apps.server import serve
+    from cape_tpu.tools.export_model import (
+        ExportedEngine, ExportedModel, export_model,
+    )
+
+    capex = os.path.join(workdir, f"{name}.capex")
+    # exports pin the portable XLA conv path (see tools.export_model.main)
+    exp_cfg = cfg.replace(use_pallas=False)
+    exp_ctx = build_context(exp_cfg)
+    trained = jax.device_get(restore_params(cfg, model, exp_ctx, workdir))
+    export_model(
+        model, exp_ctx, trained, cfg.batch_size, capex,
+        quantize="int8", constants_dtype="bfloat16",
+    )
+    engine = ExportedEngine(ExportedModel.load(capex))
+    httpd, ms = serve(engine, "127.0.0.1", 0)
+    ms.warmup()
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        client = CapeClient(f"http://127.0.0.1:{httpd.server_address[1]}")
+        disp, z = client.sample(
+            np.zeros((1, cfg.cond_dim), np.float32),
+            np.eye(cfg.cond2_dim, dtype=np.float32)[:1], n=2, seed=0,
+        )
+        assert disp.shape == (2, int(exp_ctx.level_sizes[0]), 3), disp.shape
+        assert np.isfinite(disp).all()
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        thread.join(timeout=5)
+    print(
+        f"DRILL deploy ok: {capex} ({os.path.getsize(capex) / 1e6:.1f} MB) "
+        "served and sampled", flush=True,
+    )
 
     print(json.dumps({
         "drill": "ok",

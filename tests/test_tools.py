@@ -131,9 +131,10 @@ def test_converted_npz_drives_simple_demo_cli(ctx, tmp_path):
 @pytest.mark.slow
 def test_artifact_drill_end_to_end(tmp_path):
     """The artifact-landing drill (tools.artifact_drill): pack -> train ->
-    acceptance -> convert -> demo, chained on synthetic stand-ins. Proves
-    each stage hands off to the next so the same invocation works the day
-    the license-gated artifacts land (docs/ROADMAP.md)."""
+    acceptance -> convert -> demo -> deploy, chained on synthetic
+    stand-ins. Proves each stage hands off to the next so the same
+    invocation works the day the license-gated artifacts land
+    (docs/ROADMAP.md)."""
     import json
 
     from cape_tpu.tools.artifact_drill import main as drill_main
@@ -146,3 +147,4 @@ def test_artifact_drill_end_to_end(tmp_path):
     assert (root / "converted_params.npz").is_file()
     objs = list((root / "demo_results").rglob("*.obj"))
     assert objs
+    assert (root / "drill_run.capex").is_file()  # deploy stage artifact
