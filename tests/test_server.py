@@ -419,6 +419,51 @@ def test_sample_bad_n_is_client_error(srv):
     assert status == 400
 
 
+def test_micro_batcher_unit():
+    """_MicroBatcher mechanics, no HTTP/engine: rows coalesce up to
+    capacity, each future gets exactly its own rows back in order, a
+    multi-row request spans correctly, and a failing device fn rejects
+    every waiting future instead of hanging them."""
+    import time
+
+    from cape_tpu.apps.server import _MicroBatcher
+
+    calls = []
+
+    def fn(a, b):
+        calls.append(len(a))
+        return a * 2.0, b + 1.0
+
+    mb = _MicroBatcher(fn, capacity=4, window_ms=30.0, name="unit")
+    futs = [
+        mb.submit([np.full((1, 3), i, np.float32), np.full((1, 2), i, np.float32)])
+        for i in range(6)
+    ]
+    outs = [f.result(timeout=30) for f in futs]
+    for i, (a2, b1) in enumerate(outs):
+        np.testing.assert_array_equal(a2, np.full((1, 3), 2.0 * i))
+        np.testing.assert_array_equal(b1, np.full((1, 2), i + 1.0))
+    assert mb.requests == 6 and mb.calls == len(calls)
+    assert all(c <= 4 for c in calls)  # capacity respected per device call
+
+    # a 3-row submission mixed with 1-row ones keeps row accounting right
+    big = mb.submit([np.arange(9, dtype=np.float32).reshape(3, 3), np.zeros((3, 2), np.float32)])
+    small = mb.submit([np.full((1, 3), 7, np.float32), np.zeros((1, 2), np.float32)])
+    a2, _ = big.result(timeout=30)
+    np.testing.assert_array_equal(a2, 2.0 * np.arange(9, dtype=np.float32).reshape(3, 3))
+    np.testing.assert_array_equal(small.result(timeout=30)[0], np.full((1, 3), 14.0))
+
+    def bad(a, b):
+        raise RuntimeError("device on fire")
+
+    mbad = _MicroBatcher(bad, capacity=4, window_ms=5.0, name="unit-bad")
+    f1 = mbad.submit([np.zeros((1, 3), np.float32), np.zeros((1, 2), np.float32)])
+    f2 = mbad.submit([np.zeros((1, 3), np.float32), np.zeros((1, 2), np.float32)])
+    for f in (f1, f2):
+        with pytest.raises(RuntimeError, match="device on fire"):
+            f.result(timeout=30)
+
+
 def test_drain_waits_for_inflight_requests(srv):
     """drain() blocks while a tracked request is open (through response
     serialization) and returns promptly once it closes — the guarantee
