@@ -232,6 +232,27 @@ class _Stats:
             return out
 
 
+class _RequestSpan:
+    """One in-flight request for ModelServer.drain accounting (a plain
+    object, not a per-request contextmanager generator)."""
+
+    __slots__ = ("ms",)
+
+    def __init__(self, ms):
+        self.ms = ms
+
+    def __enter__(self):
+        with self.ms._inflight_cv:
+            self.ms._inflight += 1
+        return self
+
+    def __exit__(self, *exc):
+        with self.ms._inflight_cv:
+            self.ms._inflight -= 1
+            self.ms._inflight_cv.notify_all()
+        return False
+
+
 class ModelServer:
     """Request handling around one InferenceEngine. Pure logic — transport
     lives in `serve()` so tests can call handle() directly too."""
@@ -251,6 +272,7 @@ class ModelServer:
         self._device_lock = threading.Lock()
         self._inflight = 0
         self._inflight_cv = threading.Condition()
+        self.draining = False  # set at shutdown: responses add Connection: close
         self._embed_b = self._decode_b = self._encode_b = None
         if micro_batch:
             self._embed_b = _MicroBatcher(
@@ -308,33 +330,30 @@ class ModelServer:
         """Context manager the transport wraps around each request —
         spans parsing, device work, AND response serialization, so
         drain() can wait for complete responses, not just device calls."""
-        import contextlib
+        return _RequestSpan(self)
 
-        @contextlib.contextmanager
-        def span():
-            with self._inflight_cv:
-                self._inflight += 1
-            try:
-                yield
-            finally:
-                with self._inflight_cv:
-                    self._inflight -= 1
-                    self._inflight_cv.notify_all()
-
-        return span()
-
-    def drain(self, timeout: float = 30.0) -> bool:
+    def drain(self, timeout: float = 30.0, grace: float = 0.25) -> bool:
         """Block until every in-flight request has fully completed
-        (response bytes written), or the timeout passes. Idle keep-alive
-        connections don't count — nothing of theirs is cut by exiting."""
+        (response bytes written), or the timeout passes. Call AFTER
+        setting self.draining (responses then carry Connection: close, so
+        kept-alive clients cannot pipeline drain-prolonging requests, and
+        the closed accept loop admits no new connections). The grace
+        re-check catches a request whose bytes arrived just before the
+        count hit zero but whose handler had not yet entered its span.
+        Idle keep-alive connections don't count — nothing of theirs is
+        cut by exiting."""
         deadline = time.monotonic() + timeout
-        with self._inflight_cv:
-            while self._inflight > 0:
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    return False
-                self._inflight_cv.wait(remaining)
-        return True
+        while True:
+            with self._inflight_cv:
+                while self._inflight > 0:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        return False
+                    self._inflight_cv.wait(remaining)
+            time.sleep(grace)
+            with self._inflight_cv:
+                if self._inflight == 0:
+                    return True
 
     def metrics_text(self) -> str:
         """Prometheus text exposition (version 0.0.4) of the same numbers
@@ -600,6 +619,12 @@ def _make_handler(server: ModelServer):
             self.send_response(status)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(data)))
+            if server.draining:
+                # shutting down: finish this response, then close so a
+                # kept-alive client cannot pipeline drain-prolonging
+                # requests (drain() relies on this bound)
+                self.send_header("Connection", "close")
+                self.close_connection = True
             self.end_headers()
             self.wfile.write(data)
 
@@ -769,6 +794,7 @@ def main(argv=None):
 
     def _stop(signum, frame):
         print(f"received signal {signum}: draining", flush=True)
+        ms.draining = True  # before shutdown: responses now close connections
         threading.Thread(target=httpd.shutdown, daemon=True).start()
 
     signal.signal(signal.SIGTERM, _stop)
@@ -787,6 +813,7 @@ def main(argv=None):
     except KeyboardInterrupt:
         pass
     finally:
+        ms.draining = True  # also on non-signal exits (KeyboardInterrupt)
         if not ms.drain(timeout=30.0):
             print("drain timed out with requests in flight", flush=True)
         httpd.server_close()

@@ -200,21 +200,20 @@ def main(argv=None) -> None:
     import threading
 
     from cape_tpu.apps.client import CapeClient
-    from cape_tpu.apps.main import restore_params
     from cape_tpu.apps.server import serve
-    from cape_tpu.tools.export_model import (
-        ExportedEngine, ExportedModel, export_model,
-    )
+    from cape_tpu.tools import export_model as export_cli
+    from cape_tpu.tools.export_model import ExportedEngine, ExportedModel
 
     capex = os.path.join(workdir, f"{name}.capex")
-    # exports pin the portable XLA conv path (see tools.export_model.main)
-    exp_cfg = cfg.replace(use_pallas=False)
-    exp_ctx = build_context(exp_cfg)
-    trained = jax.device_get(restore_params(cfg, model, exp_ctx, workdir))
-    export_model(
-        model, exp_ctx, trained, cfg.batch_size, capex,
-        quantize="int8", constants_dtype="bfloat16",
-    )
+    # the operator invocation, like the accept/demo stages (the CLI owns
+    # the restore glue and the portable-XLA-path pin)
+    export_cli.main([
+        "--out", capex, "--workdir", workdir,
+        "--quantize", "int8", "--constants-dtype", "bfloat16",
+        "--config", args.config, "--name", name, "--gender", args.gender,
+        "--batch_size", str(args.batch_size),
+        "--num_epochs", str(args.epochs),  # cfg must re-derive identically
+    ])
     engine = ExportedEngine(ExportedModel.load(capex))
     httpd, ms = serve(engine, "127.0.0.1", 0)
     ms.warmup()
@@ -226,7 +225,7 @@ def main(argv=None) -> None:
             np.zeros((1, cfg.cond_dim), np.float32),
             np.eye(cfg.cond2_dim, dtype=np.float32)[:1], n=2, seed=0,
         )
-        assert disp.shape == (2, int(exp_ctx.level_sizes[0]), 3), disp.shape
+        assert disp.shape == (2, int(engine.ctx.level_sizes[0]), 3), disp.shape
         assert np.isfinite(disp).all()
     finally:
         httpd.shutdown()

@@ -783,7 +783,15 @@ def cmd_artifact(args):
     backend, chained-loop protocol as in `serve`. Primary use: A/B a
     compressed export (export_model --quantize int8 --constants-dtype
     bfloat16) against its uncompressed twin — the int8/bf16 tables are
-    what HBM reads at serving time."""
+    what HBM reads at serving time.
+
+    Relay caveat: an artifact's constants (params + banded blocks) are
+    PART of its program, so compiling it through the remote-attach relay
+    uploads them all — a large f32 artifact can exceed the relay's
+    request limit (HTTP 413, CLAUDE.md). That is inherent to artifact
+    serving through a relay, not to this bench; artifact deployments
+    target locally attached hosts (compressed exports are ~3.5x smaller
+    and may fit where the f32 twin does not)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -792,7 +800,13 @@ def cmd_artifact(args):
 
     em = ExportedModel.load(args.path)
     m = em.meta
-    B = args.batch if (args.batch and m.get("symbolic_batch")) else m["batch_size"]
+    if args.batch and not m.get("symbolic_batch"):
+        raise SystemExit(
+            f"--batch {args.batch} has no effect: {args.path} is a "
+            f"fixed-batch artifact (batch_size={m['batch_size']}); only "
+            "--symbolic-batch exports run at other sizes"
+        )
+    B = args.batch or m["batch_size"]
     rng = np.random.default_rng(0)
     zt = jnp.asarray(
         rng.standard_normal((B, m["nz"] + m["nz_cond"] + m["nz_cond2"])), jnp.float32
@@ -854,22 +868,29 @@ def cmd_concurrency(args):
 
     def worker(i):
         c = CapeClient(args.url)
-        lats = []
+        lats, errors = [], 0
         while time.monotonic() < stop_at:
             t0 = time.perf_counter()
-            c.sample(pose, clo, n=args.rows, seed=i)
+            try:
+                c.sample(pose, clo, n=args.rows, seed=i)
+            except Exception:
+                errors += 1  # a load bench keeps partial results on failures
+                continue
             lats.append(1000.0 * (time.perf_counter() - t0))
-        return lats
+        return lats, errors
 
     t_start = time.monotonic()
     with concurrent.futures.ThreadPoolExecutor(args.threads) as ex:
-        all_lats = [v for lats in ex.map(worker, range(args.threads)) for v in lats]
-    elapsed = time.monotonic() - t_start
-    all_lats.sort()
+        results = list(ex.map(worker, range(args.threads)))
+    elapsed = max(time.monotonic() - t_start, 1e-9)
+    all_lats = sorted(v for lats, _ in results for v in lats)
+    n_err = sum(e for _, e in results)
+    if not all_lats:
+        raise SystemExit(f"no request completed ({n_err} errors) — is the server up?")
     q = lambda p: all_lats[min(len(all_lats) - 1, int(p * len(all_lats)))]
     out = {
         "bench": "concurrency", "threads": args.threads, "rows": args.rows,
-        "seconds": round(elapsed, 1), "requests": len(all_lats),
+        "seconds": round(elapsed, 1), "requests": len(all_lats), "errors": n_err,
         "req_per_sec": round(len(all_lats) / elapsed, 1),
         "meshes_per_sec": round(len(all_lats) * args.rows / elapsed, 1),
         "latency_ms_p50": round(q(0.50), 2), "latency_ms_p95": round(q(0.95), 2),
