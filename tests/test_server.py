@@ -419,6 +419,55 @@ def test_sample_bad_n_is_client_error(srv):
     assert status == 400
 
 
+def test_handle_fuzz_never_500(srv):
+    """Seeded fuzz over the request surface: any garbage body must come
+    back as a clean 4xx (or 200 when it happens to be valid) — never a
+    500, which would mean an exception class the validators don't own."""
+    from cape_tpu.apps.server import ModelServer
+
+    _, engine, cfg = srv
+    ms = ModelServer(engine, micro_batch=False)
+    rng = np.random.default_rng(42)
+
+    def rand_val(depth=0):
+        k = int(rng.integers(0, 10))
+        if k == 0:
+            return None
+        if k == 1:
+            return float(rng.standard_normal()) * 10 ** int(rng.integers(0, 12))
+        if k == 2:
+            return int(rng.integers(-(2**40), 2**40))
+        if k == 3:
+            return str(rng.choice(["", "abc", "gmm", "normal", "NaN"]))
+        if k == 4:
+            return bool(rng.integers(0, 2))
+        if k == 5:
+            return float("nan") if rng.integers(0, 2) else float("inf")
+        if k == 6 and depth < 2:
+            return [rand_val(depth + 1) for _ in range(int(rng.integers(0, 4)))]
+        if k == 7 and depth < 2:
+            return {"x": rand_val(depth + 1)}
+        if k == 8:
+            shape = tuple(
+                int(rng.integers(0, 5)) for _ in range(int(rng.integers(1, 4)))
+            )
+            return rng.standard_normal(shape).tolist()
+        # occasionally a plausibly-valid field to push past the validators
+        width = int(rng.choice([cfg.cond_dim, cfg.cond2_dim, cfg.nz, 3]))
+        return np.zeros((1, width), np.float32).tolist()
+
+    keys = np.array(
+        ["pose", "clo", "disp", "z", "z_total", "y", "y2", "n", "seed",
+         "prior", "sample"]
+    )
+    paths = ["/encode", "/decode", "/reconstruct", "/sample", "/nope"]
+    for i in range(300):
+        nk = int(rng.integers(0, 6))
+        body = {str(k): rand_val() for k in rng.choice(keys, size=nk, replace=False)}
+        status, resp = ms.handle("POST", paths[i % len(paths)], body)
+        assert status in (200, 400, 404), (status, resp, body)
+
+
 def test_micro_batcher_unit():
     """_MicroBatcher mechanics, no HTTP/engine: rows coalesce up to
     capacity, each future gets exactly its own rows back in order, a
