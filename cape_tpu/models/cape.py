@@ -25,7 +25,6 @@ import jax.numpy as jnp
 from cape_tpu.core.config import CAPEConfig
 from cape_tpu.core.params import (
     ACTIVATIONS,
-    conv_bias,
     conv_weight,
     dense_apply,
     dense_init,

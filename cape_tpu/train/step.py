@@ -14,8 +14,6 @@ loss_g and loss_d is CSE'd by XLA.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 
