@@ -34,8 +34,40 @@ REFERENCE_STEPS_PER_SEC = 5.0  # documented estimate; see module docstring
 STEPS_PER_DISPATCH = 32
 
 
+def _wait_for_backend(max_wait_s: float = 1800.0, probe_timeout_s: float = 90.0):
+    """The relay can be down for hours at a stretch (CLAUDE.md), and
+    jax.devices() then hangs FOREVER in-process — so probe in a
+    subprocess with a timeout and retry with backoff before committing
+    this process to the backend. Raises SystemExit if the backend never
+    comes up: no measurement beats a fabricated or hung one."""
+    import subprocess
+    import sys
+
+    deadline = time.monotonic() + max_wait_s
+    delay = 30.0
+    while True:
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout_s, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if time.monotonic() >= deadline:
+                raise SystemExit(
+                    f"bench: accelerator backend unreachable after "
+                    f"{max_wait_s:.0f}s of probing (relay down? CLAUDE.md)"
+                )
+            print(f"# backend unreachable; retrying in {delay:.0f}s", flush=True)
+            time.sleep(min(delay, max(0.0, deadline - time.monotonic())))
+            delay = min(delay * 2, 300.0)
+
+
 def main(num_steps: int = 192, warmup: int = STEPS_PER_DISPATCH) -> dict:
     import os
+
+    _wait_for_backend()
 
     import jax
 
