@@ -29,6 +29,7 @@ from cape_tpu.data.loader import BodyData
 from cape_tpu.data.synthetic import synthetic_bodydata
 from cape_tpu.meshops import assets
 from cape_tpu.meshops.pyramid import build_pyramid
+from cape_tpu.models import summary
 from cape_tpu.models.cape import CAPE
 from cape_tpu.ops.sparse import build_graph_context
 from cape_tpu.train import checkpoint as ckpt
@@ -91,6 +92,9 @@ def run(cfg: CAPEConfig, workdir: str = "results") -> None:
         cfg = cfg.replace(cond_dim=42)
     model = CAPE(cfg)
     ctx = build_context(cfg)
+    # architecture table at build time, as the reference prints during
+    # graph construction (lib/models.py:495-675)
+    print(summary.describe(model, ctx), flush=True)
 
     if cfg.mode == "train":
         data = load_bodydata(cfg)
@@ -122,6 +126,13 @@ def run(cfg: CAPEConfig, workdir: str = "results") -> None:
 
 
 def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if "--platform" in argv:
+        # explicit runtime platform (e.g. cpu smoke runs on a box whose
+        # sitecustomize pins an accelerator); must land before device use
+        i = argv.index("--platform")
+        jax.config.update("jax_platforms", argv[i + 1])
+        del argv[i : i + 2]
     cfg = parse_cli(argv)
     if not cfg.name:
         print("error: --name is required", file=sys.stderr)

@@ -299,3 +299,83 @@ def test_padded_layout_forward_exact(small_mesh):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
         )
+
+
+@pytest.mark.parametrize("name", list(CONFIGS))
+def test_summary_describe(ctx, name):
+    """The architecture table's numbers match the real param pytree."""
+    import re
+
+    from cape_tpu.models.summary import describe
+
+    cfg = CONFIGS[name]
+    model = CAPE(cfg)
+    params = jax.device_get(model.init_params(jax.random.PRNGKey(0), ctx))
+    text = describe(model, ctx, params)
+
+    # static lines exist for every encoder/decoder/discriminator layer
+    for i in range(cfg.num_conv_layers):
+        assert f"encoder_layer{i}:" in text and f"decoder_layer{i}:" in text
+    assert "discriminator_pred:" in text
+
+    # printed fc shapes are the actual param shapes
+    m = re.search(r"encoder_fc_mean: \((\d+), (\d+)\)", text)
+    assert m is not None
+    assert params["generator"]["encoder"]["fc_mean"]["kernel"].shape == (
+        int(m.group(1)), int(m.group(2)))
+    m = re.search(r"decoder_fc1: \((\d+), (\d+)\)", text)
+    assert params["generator"]["decoder"]["fc1"]["kernel"].shape == (
+        int(m.group(1)), int(m.group(2)))
+
+    # printed parameter totals are exact leaf-size sums
+    m = re.search(r"total: ([\d,]+)", text)
+    want = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+    assert int(m.group(1).replace(",", "")) == want
+
+
+@pytest.mark.parametrize("name", ["small_plain", "flagship_affine"])
+@pytest.mark.parametrize("padded", [False, True])
+def test_fused_decoder_matches_unfused(name, padded):
+    """cfg.fuse_decoder (precomposed L~@U decoder applies) is exact vs the
+    unpool-then-conv path: decode values and parameter gradients agree on
+    the udn (small_plain) and affine (flagship) folded paths, natural and
+    padded layouts. Params are shared — fusion changes no layout."""
+    pyr = assets.load_pyramid("for_demo")
+    pyr_d = assets.load_pyramid("ds2")
+    verts, _ = assets.template_mesh()
+    ctx = build_graph_context(
+        pyr, pyr_d, assets.smpl_edges(), verts, padded=padded
+    )
+    cfg = CONFIGS[name]
+    m_fused = CAPE(cfg.replace(fuse_decoder=True))
+    m_plain = CAPE(cfg.replace(fuse_decoder=False))
+    params = jax.device_get(m_plain.init_params(jax.random.PRNGKey(1), ctx))
+
+    rng = np.random.default_rng(7)
+    B = 2
+    z_total = jnp.asarray(rng.standard_normal((B, cfg.z_total_dim)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((B, cfg.nz_cond)), jnp.float32)
+    y2 = jnp.asarray(rng.standard_normal((B, cfg.nz_cond2)), jnp.float32)
+
+    @jax.jit
+    def dec_fused(params, ctx):
+        return m_fused.decode(params, ctx, z_total, y, y2)
+
+    @jax.jit
+    def dec_plain(params, ctx):
+        return m_plain.decode(params, ctx, z_total, y, y2)
+
+    out_f = np.asarray(dec_fused(params, ctx))
+    out_p = np.asarray(dec_plain(params, ctx))
+    assert out_f.shape == out_p.shape
+    np.testing.assert_allclose(out_f, out_p, rtol=2e-4, atol=2e-5)
+
+    gf = jax.jit(jax.grad(lambda p, c: jnp.sum(m_fused.decode(p, c, z_total, y, y2) ** 2)))(params, ctx)
+    gp = jax.jit(jax.grad(lambda p, c: jnp.sum(m_plain.decode(p, c, z_total, y, y2) ** 2)))(params, ctx)
+    flat_f = jax.tree_util.tree_leaves_with_path(gf)
+    flat_p = dict(jax.tree_util.tree_leaves_with_path(gp))
+    for path, leaf in flat_f:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_p[path]),
+            rtol=2e-3, atol=3e-4, err_msg=str(path),
+        )
