@@ -101,6 +101,12 @@ class CAPEConfig:
     # at 128-row multiples through the whole network; pad once at the model
     # input, slice once at its output (docs/PERF.md round-3 measurement).
     padded_layout: bool = True
+    # Fuse each decoder unpool into its conv via the precomposed banded
+    # product L~@U (GraphContext.lap_up): weight projections run at the
+    # coarse vertex count and the unpooled intermediate never materializes.
+    # Exact (tests/test_model.py); applies to the folded udn/affine decoder
+    # paths with K=2. docs/PERF.md has the measurement.
+    fuse_decoder: bool = True
 
     # ------------------------------------------------------------------
     # Derived architecture facts (reference: main.py:31-84)
@@ -156,7 +162,7 @@ _BOOL_FIELDS = {
     # TPU-native extension bools: without membership here the CLI parses
     # them with type=bool, where bool("0") is True and a flag can never be
     # turned off from the command line
-    "remat", "fold_conditions", "use_pallas", "padded_layout",
+    "remat", "fold_conditions", "use_pallas", "padded_layout", "fuse_decoder",
 }
 
 

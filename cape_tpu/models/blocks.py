@@ -18,7 +18,12 @@ import jax
 import jax.numpy as jnp
 
 from cape_tpu.core.params import conv_bias, conv_weight
-from cape_tpu.ops.cheb import cheb_conv, cheb_conv_folded
+from cape_tpu.ops.cheb import (
+    _project,
+    cheb_conv,
+    cheb_conv_folded,
+    cheb_conv_up_folded,
+)
 from cape_tpu.ops.norm import group_norm
 
 
@@ -158,6 +163,47 @@ def affine_block_folded_apply(p: dict, x, conds, lap, up):
     gc = jax.nn.relu(cheb_conv_folded(xu, conds, lap, p["conv"]["w"], cond_seed=seed))
     af = cheb_conv_folded(xu, conds, lap, p["affine"]["w"], cond_seed=seed)
     return gc + af
+
+
+def deconv_block_fused_apply(p: dict, x, conds, up, lap_up, act):
+    """udn with folded conditions and the unpool composed into the conv
+    (ops.cheb.cheb_conv_up_folded): exact vs deconv_block_folded_apply,
+    but the weight projections run at the coarse vertex count and the
+    unpooled intermediate never materializes."""
+    x = cheb_conv_up_folded(x, conds, up, lap_up, p["w"])
+    return act(x + p["b"].astype(x.dtype))
+
+
+def affine_block_fused_apply(p: dict, x, conds, up, lap_up):
+    """affine res block with folded conditions AND the unpool composed into
+    both branches: one coarse-level GEMM projects [conv W0 | affine Wa], a
+    single U apply carries both branches' k=0 terms, and L~U (the
+    precomposed banded product, GraphContext.lap_up) carries the conv's
+    k=1 term. Exact vs affine_block_folded_apply."""
+    wc = p["conv"]["w"].astype(x.dtype)       # [2, fin_total, half]
+    wa = p["affine"]["w"].astype(x.dtype)     # [1, fin_total, half]
+    fx = x.shape[-1]
+    half = wc.shape[-1]
+    w0a = jnp.concatenate([wc[0, :fx], wa[0, :fx]], axis=-1)   # [fx, 2*half]
+    u = up(_project(x, w0a))                                    # [.., Vf, 2*half]
+    l1 = lap_up(_project(x, wc[1, :fx]))
+    gc_pre = u[..., :half] + l1
+    af = u[..., half:]
+
+    ones = jnp.ones((x.shape[-2], 1), dtype=x.dtype)
+    shape = (1,) * (gc_pre.ndim - 2) + (gc_pre.shape[-2], 1)
+    s0 = up(ones).reshape(shape)
+    s1 = lap_up(ones).reshape(shape)
+    off = fx
+    for c in conds:
+        dim = c.shape[-1]
+        c = c.astype(x.dtype)
+        gc_pre = gc_pre + s0 * (c @ wc[0, off : off + dim])[..., None, :]
+        gc_pre = gc_pre + s1 * (c @ wc[1, off : off + dim])[..., None, :]
+        af = af + s0 * (c @ wa[0, off : off + dim])[..., None, :]
+        off += dim
+    assert off == wc.shape[1], (off, wc.shape[1])
+    return jax.nn.relu(gc_pre) + af
 
 
 def res_block_folded_apply(p: dict, x_in, conds, lap, down, act):

@@ -267,12 +267,26 @@ class CAPE:
 
         if not fold:
             x = blocks.concat_conditions(x, y, y2)
+        # fused unpool∘conv: the precomposed L~@U operators replace the
+        # separate unpool + fine-level conv (exact; ops.cheb.cheb_conv_up)
+        fuse = cfg.fuse_decoder and fold and cfg.K == 2 and len(ctx.lap_up) > 0
         for i in range(n):
             p = dec[f"layer{i}"]
             lap = ctx.lap[-(i + 2)]
             up = ctx.up[-(i + 1)]
+            lap_up = ctx.lap_up[-(i + 1)] if fuse else None
             if fold:
-                if cfg.use_res_block_dec:  # affine
+                if fuse and cfg.use_res_block_dec:  # affine, fused
+                    blk = self._block(
+                        lambda p, x, y, y2, up=up, lu=lap_up:
+                        blocks.affine_block_fused_apply(p, x, [y, y2], up, lu)
+                    )
+                elif fuse:
+                    blk = self._block(
+                        lambda p, x, y, y2, up=up, lu=lap_up:
+                        blocks.deconv_block_fused_apply(p, x, [y, y2], up, lu, self.act)
+                    )
+                elif cfg.use_res_block_dec:  # affine
                     blk = self._block(
                         lambda p, x, y, y2, lap=lap, up=up:
                         blocks.affine_block_folded_apply(p, x, [y, y2], lap, up)

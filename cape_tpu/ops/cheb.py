@@ -139,6 +139,64 @@ def cheb_conv(x: jnp.ndarray, lap, weight: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
+def cheb_conv_up(x: jnp.ndarray, up, lap_up, weight: jnp.ndarray) -> jnp.ndarray:
+    """K<=2 Chebyshev conv with the decoder's unpool COMPOSED INTO the
+    operator:  y = sum_k T_k(L~_fine) (U x) W[k]  evaluated as
+
+        y = U (x W[0]) + (L~ U) (x W[1])
+
+    using the precomposed banded product lap_up = L~ @ U
+    (GraphContext.lap_up). Exact reordering (linearity); vs `up` followed
+    by `cheb_conv`, the weight projections run at the COARSE vertex count
+    and the unpooled [B, V_fine, Fin] intermediate never exists — the
+    apply traffic drops from (U at Fin) + (L~ at Fout reading fine rows)
+    to (U at Fout) + (L~U at Fout reading coarse rows). For factor-1
+    levels up is the identity and this is exactly the project-first
+    (Clenshaw) K=2 form."""
+    K = weight.shape[0]
+    w = weight.astype(x.dtype)
+    y = up(_project(x, w[0]))
+    if K == 1:
+        return y
+    assert K == 2, "cheb_conv_up supports K<=2 (VAE convs); use cheb_conv"
+    return y + lap_up(_project(x, w[1]))
+
+
+def cheb_conv_up_folded(
+    x: jnp.ndarray,
+    conds: list[jnp.ndarray],
+    up,
+    lap_up,
+    weight: jnp.ndarray,
+) -> jnp.ndarray:
+    """cheb_conv_up over concat([x, c (x) 1, ...]) with the condition
+    channels algebraically folded (see cheb_conv_folded): the concat
+    happened BEFORE the unpool, so each condition term is
+    (T_k(L~) U 1) (x) (c W_c[k]) — the seed bases are one [V_c, 1] apply
+    of `up` / `lap_up` each."""
+    K, fin_total, _ = weight.shape
+    fx = x.shape[-1]
+    w = weight.astype(x.dtype)
+    y = cheb_conv_up(x, up, lap_up, w[:, :fx, :])
+
+    ones = jnp.ones((x.shape[-2], 1), dtype=x.dtype)
+    seed_basis = [up(ones)]
+    if K == 2:
+        seed_basis.append(lap_up(ones))
+    V = y.shape[-2]
+    off = fx
+    for c in conds:
+        dim = c.shape[-1]
+        c = c.astype(x.dtype)
+        for k in range(K):
+            proj = c @ w[k, off : off + dim, :]                  # [B, Fout]
+            basis = seed_basis[k].reshape((1,) * (y.ndim - 2) + (V, 1))
+            y = y + basis * proj[..., None, :]
+        off += dim
+    assert off == fin_total, (off, fin_total)
+    return y
+
+
 def cheb_conv_folded(
     x: jnp.ndarray,
     conds: list[jnp.ndarray],

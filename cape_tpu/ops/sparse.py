@@ -219,6 +219,13 @@ class GraphContext:
     loss_mask: jnp.ndarray
     level_sizes: tuple = struct.field(pytree_node=False)
     level_sizes_d: tuple = struct.field(pytree_node=False)
+    # lap_up[i] = scaled_lap[i] @ up[i]: the decoder's unpool composed into
+    # the conv's operator (host-side sparse product, still banded with
+    # bandwidth <= b_L + b_U). The fused decoder path (ops.cheb
+    # cheb_conv_up) applies T_1(L~)U in ONE banded apply so the unpooled
+    # intermediate never materializes; for factor-1 levels up[i] is the
+    # identity and lap_up[i] IS lap[i] (same op object, no extra storage).
+    lap_up: tuple = ()
     # persistent-padded vertex layout: pyramid ops consume/produce
     # activations padded to 128-row multiples (banded mode only); the model
     # pads once at its input boundary and slices once at its output.
@@ -295,9 +302,16 @@ def build_graph_context(
     if padded and mode != "banded":
         raise ValueError("padded layout requires mode='banded'")
     kw = dict(padded=padded, allow_pallas=use_pallas)
-    laps = [make_op(L, mode, dtype, **kw) for L in pyramid.scaled_laplacians()]
+    scaled = pyramid.scaled_laplacians()
+    laps = [make_op(L, mode, dtype, **kw) for L in scaled]
     downs = [make_op(D, mode, dtype, **kw) for D in pyramid.downsamples]
     ups = [make_op(U, mode, dtype, **kw) for U in pyramid.upsamples]
+    # composite L~@U per decoder level (see GraphContext.lap_up); identity
+    # upsamples reuse the plain Laplacian op
+    lap_ups = [
+        laps[i] if _is_identity(U) else make_op(sp.csr_matrix(scaled[i] @ U), mode, dtype, **kw)
+        for i, U in enumerate(pyramid.upsamples)
+    ]
     laps_d = [make_op(L, mode, dtype, **kw) for L in disc_pyramid.scaled_laplacians()]
     downs_d = [make_op(D, mode, dtype, **kw) for D in disc_pyramid.downsamples]
     # losses consume natural-layout predictions; edge_op stays natural
@@ -320,6 +334,7 @@ def build_graph_context(
         loss_mask=mask,
         level_sizes=tuple(pyramid.level_sizes),
         level_sizes_d=tuple(disc_pyramid.level_sizes),
+        lap_up=tuple(lap_ups),
         padded=padded,
         perm0=None if perm0 is None else jnp.asarray(perm0, jnp.int32),
     )

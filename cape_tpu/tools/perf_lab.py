@@ -494,7 +494,7 @@ def cmd_step(args):
         use_res_block=False, use_res_block_dec=True, affine=True,
         reduce_dim=64, lambda_edge=1.0, batch_size=args.batch,
         compute_dtype=args.dtype, padded_layout=bool(args.padded),
-        remat=bool(args.remat),
+        remat=bool(args.remat), fuse_decoder=bool(args.fuse),
     )
     ctx = _flagship_ctx(args.dtype, padded=cfg.padded_layout)
     model = CAPE(cfg)
@@ -540,6 +540,7 @@ def cmd_step(args):
     print(json.dumps({
         "step_ms": round(ms, 2), "steps_per_sec": round(1000.0 / ms, 1),
         "dtype": args.dtype, "batch": args.batch, "steps_per_dispatch": K,
+        "padded": bool(args.padded), "fuse_decoder": bool(args.fuse),
     }), flush=True)
 
 
@@ -932,6 +933,7 @@ def main(argv=None):
     ps.add_argument("--k", type=int, default=8, help="steps per dispatch")
     ps.add_argument("--padded", type=int, default=0, help="persistent-padded layout")
     ps.add_argument("--remat", type=int, default=0, help="jax.checkpoint each block")
+    ps.add_argument("--fuse", type=int, default=1, help="fused decoder unpool (cfg.fuse_decoder)")
     pt = sub.add_parser("trace")
     pt.add_argument("--batch", type=int, default=16)
     pt.add_argument("--dtype", default="bfloat16")

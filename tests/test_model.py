@@ -365,17 +365,22 @@ def test_fused_decoder_matches_unfused(name, padded):
     def dec_plain(params, ctx):
         return m_plain.decode(params, ctx, z_total, y, y2)
 
-    out_f = np.asarray(dec_fused(params, ctx))
-    out_p = np.asarray(dec_plain(params, ctx))
+    def close(a, b, tol, msg):
+        # scale-aware: f32 through ~10 reassociated matmul layers; tiny
+        # elements of large-dynamic-range tensors carry no relative meaning
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.max(np.abs(b)), 1e-6)
+        err = np.max(np.abs(a - b)) / scale
+        assert err <= tol, (msg, err, scale)
+
+    out_f = dec_fused(params, ctx)
+    out_p = dec_plain(params, ctx)
     assert out_f.shape == out_p.shape
-    np.testing.assert_allclose(out_f, out_p, rtol=2e-4, atol=2e-5)
+    close(out_f, out_p, 1e-5, "decode output")
 
     gf = jax.jit(jax.grad(lambda p, c: jnp.sum(m_fused.decode(p, c, z_total, y, y2) ** 2)))(params, ctx)
     gp = jax.jit(jax.grad(lambda p, c: jnp.sum(m_plain.decode(p, c, z_total, y, y2) ** 2)))(params, ctx)
     flat_f = jax.tree_util.tree_leaves_with_path(gf)
     flat_p = dict(jax.tree_util.tree_leaves_with_path(gp))
     for path, leaf in flat_f:
-        np.testing.assert_allclose(
-            np.asarray(leaf), np.asarray(flat_p[path]),
-            rtol=2e-3, atol=3e-4, err_msg=str(path),
-        )
+        close(leaf, flat_p[path], 1e-4, str(path))

@@ -605,3 +605,50 @@ def test_masked_norm_stats_nan_safe():
     want_b = np.asarray(batch_norm(x, gamma, beta))
     assert np.all(np.isfinite(b[:, :V]))
     np.testing.assert_allclose(b[:, :V], want_b, rtol=1e-4, atol=1e-5)
+
+
+def test_lap_up_composite_matches_sequential(small_mesh):
+    """ctx.lap_up[i] (precomposed L~@U) == lap[i] applied after up[i], in
+    value and VJP, natural and padded; identity-upsample levels reuse the
+    plain Laplacian op object."""
+    from cape_tpu.meshops.pyramid import build_pyramid
+    from cape_tpu.meshops.topology import vertices_per_edge
+    from cape_tpu.ops.cheb import cheb_conv, cheb_conv_up
+    from cape_tpu.ops.sparse import IdentityOp, build_graph_context
+
+    verts, faces = small_mesh
+    pyr = build_pyramid(verts, faces, [1, 2, 1, 2, 1, 2, 1, 1])
+    pyr_d = build_pyramid(verts, faces, [2, 2, 2, 2])
+    edges = vertices_per_edge(faces, len(verts))
+    rng = np.random.default_rng(3)
+
+    for padded in (False, True):
+        ctx = build_graph_context(pyr, pyr_d, edges, verts, padded=padded)
+        assert len(ctx.lap_up) == len(ctx.up)
+        fused_real = 0
+        for lap, up, lap_up in zip(ctx.lap, ctx.up, ctx.lap_up):
+            if isinstance(up, IdentityOp):
+                assert lap_up is lap
+                continue
+            fused_real += 1
+            n_in = up.p_cols if padded else up.n_cols
+            x = jnp.asarray(rng.standard_normal((2, n_in, 6)), jnp.float32)
+            np.testing.assert_allclose(
+                np.asarray(lap_up(x)), np.asarray(lap(up(x))),
+                rtol=1e-5, atol=1e-5,
+            )
+            g_seq = jax.grad(lambda v: jnp.sum(lap(up(v)) ** 2))(x)
+            g_fus = jax.grad(lambda v: jnp.sum(lap_up(v) ** 2))(x)
+            np.testing.assert_allclose(
+                np.asarray(g_fus), np.asarray(g_seq), rtol=1e-4, atol=1e-5
+            )
+
+            # cheb_conv_up == up-then-cheb_conv for K=2 and K=1 weights
+            for K in (1, 2):
+                w = jnp.asarray(rng.standard_normal((K, 6, 4)) * 0.2, jnp.float32)
+                ref = cheb_conv(up(x), lap, w)
+                got = cheb_conv_up(x, up, lap_up, w)
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+                )
+        assert fused_real >= 3
