@@ -105,8 +105,14 @@ class CAPEConfig:
     # product L~@U (GraphContext.lap_up): weight projections run at the
     # coarse vertex count and the unpooled intermediate never materializes.
     # Exact (tests/test_model.py); applies to the folded udn/affine decoder
-    # paths with K=2. docs/PERF.md has the measurement.
-    fuse_decoder: bool = True
+    # paths with K=2. MEASURED AND REJECTED as the default: the composed
+    # operator is wider-band than U (S up to 7-13 vs 5-12 per level), and
+    # in this bandwidth-bound regime the extra band-block traffic costs
+    # ~10% per step (10.88 -> 12.01 ms flagship bf16 batch 16, padded,
+    # same-session ABBA — docs/PERF.md). Kept as an escape hatch for
+    # memory-constrained configs (the fine-level intermediate never
+    # materializes).
+    fuse_decoder: bool = False
 
     # ------------------------------------------------------------------
     # Derived architecture facts (reference: main.py:31-84)

@@ -933,7 +933,7 @@ def main(argv=None):
     ps.add_argument("--k", type=int, default=8, help="steps per dispatch")
     ps.add_argument("--padded", type=int, default=0, help="persistent-padded layout")
     ps.add_argument("--remat", type=int, default=0, help="jax.checkpoint each block")
-    ps.add_argument("--fuse", type=int, default=1, help="fused decoder unpool (cfg.fuse_decoder)")
+    ps.add_argument("--fuse", type=int, default=0, help="fused decoder unpool (cfg.fuse_decoder)")
     pt = sub.add_parser("trace")
     pt.add_argument("--batch", type=int, default=16)
     pt.add_argument("--dtype", default="bfloat16")
