@@ -55,6 +55,7 @@ def build_context(cfg: CAPEConfig):
         mode=cfg.op_mode, dtype=np.dtype(cfg.compute_dtype),
         padded=cfg.padded_layout and cfg.op_mode == "banded",
         use_pallas=cfg.use_pallas,
+        build_fused=cfg.fuse_decoder,
     )
 
 
@@ -69,7 +70,10 @@ def load_bodydata(cfg: CAPEConfig, datadir_root: str = "data/datasets") -> BodyD
         "for real training)",
         flush=True,
     )
-    return synthetic_bodydata(n_train=512, n_test=64, num_verts=6890, seed=cfg.seed)
+    return synthetic_bodydata(
+        n_train=512, n_test=64, num_verts=6890, seed=cfg.seed,
+        pose_type=cfg.pose_type,
+    )
 
 
 def restore_params(cfg: CAPEConfig, model: CAPE, ctx, workdir: str = "results"):
@@ -85,11 +89,19 @@ def restore_params(cfg: CAPEConfig, model: CAPE, ctx, workdir: str = "results"):
     return state.params
 
 
-def run(cfg: CAPEConfig, workdir: str = "results") -> None:
+def resolve_config(cfg: CAPEConfig) -> CAPEConfig:
+    """Derived-config intent fixes applied before model build.
+
+    pose_type='pose' conditions on 14 clothing joints x 3 axis-angle dims
+    = 42 (the reference hardcodes cond_dim = 14*9 at main.py:69 even for
+    pose_type=pose, which would crash its feed; rebuild the intent)."""
     if cfg.pose_type == "pose" and cfg.cond_dim == 126:
-        # 14 clothing joints x 3 axis-angle dims (the reference hardcodes
-        # 14*9 at main.py:69 even for pose_type=pose; rebuild the intent)
         cfg = cfg.replace(cond_dim=42)
+    return cfg
+
+
+def run(cfg: CAPEConfig, workdir: str = "results") -> None:
+    cfg = resolve_config(cfg)
     model = CAPE(cfg)
     ctx = build_context(cfg)
     # architecture table at build time, as the reference prints during

@@ -269,7 +269,12 @@ class CAPE:
             x = blocks.concat_conditions(x, y, y2)
         # fused unpool∘conv: the precomposed L~@U operators replace the
         # separate unpool + fine-level conv (exact; ops.cheb.cheb_conv_up)
-        fuse = cfg.fuse_decoder and fold and cfg.K == 2 and len(ctx.lap_up) > 0
+        fuse = cfg.fuse_decoder and fold and cfg.K == 2
+        if fuse and len(ctx.lap_up) == 0:
+            raise ValueError(
+                "cfg.fuse_decoder=True needs the composed L~@U operators: "
+                "build the GraphContext with build_fused=True"
+            )
         for i in range(n):
             p = dec[f"layer{i}"]
             lap = ctx.lap[-(i + 2)]

@@ -40,6 +40,14 @@ class GMM:
         d = load_gmm()
         return cls.create(d["weights"], d["means"], d["covariances"])
 
+    @classmethod
+    def from_npz(cls, path: str) -> "GMM":
+        """Load a prior written by tools.fit_latent_gmm — the refit path
+        for models whose nz differs from the shipped 18-dim asset (e.g.
+        the nz=64 flagship; VERDICT r3 item 5)."""
+        d = np.load(path)
+        return cls.create(d["weights"], d["means"], d["covariances"])
+
     def sample(self, rng: jax.Array, n: int) -> jnp.ndarray:
         """Draw n latent samples: component ~ Categorical(w), z ~ N(mu_k, S_k)."""
         k_comp, k_eps = jax.random.split(rng)

@@ -265,6 +265,7 @@ def build_graph_context(
     dtype: Any = jnp.float32,
     padded: bool = False,
     use_pallas: bool = True,
+    build_fused: bool = False,
 ) -> GraphContext:
     """Device context. mode='banded' (default, production) reorders both
     pyramids by RCM/induced orderings (meshops.ordering) so every apply is
@@ -278,7 +279,9 @@ def build_graph_context(
     network, removing the per-apply output slices (docs/PERF.md). The model
     handles the pad/slice boundaries; edge_op and the loss constants stay
     natural. use_pallas=False pins every conv to the XLA banded path
-    (cfg.use_pallas; the CAPE_TPU_PALLAS env var overrides either way)."""
+    (cfg.use_pallas; the CAPE_TPU_PALLAS env var overrides either way).
+    build_fused=True additionally composes the L~@U decoder operators
+    (GraphContext.lap_up) — required by cfg.fuse_decoder, wasted otherwise."""
     template_verts = np.asarray(template_verts)
     edges = np.asarray(edges)
     perm0 = None
@@ -307,11 +310,17 @@ def build_graph_context(
     downs = [make_op(D, mode, dtype, **kw) for D in pyramid.downsamples]
     ups = [make_op(U, mode, dtype, **kw) for U in pyramid.upsamples]
     # composite L~@U per decoder level (see GraphContext.lap_up); identity
-    # upsamples reuse the plain Laplacian op
-    lap_ups = [
-        laps[i] if _is_identity(U) else make_op(sp.csr_matrix(scaled[i] @ U), mode, dtype, **kw)
-        for i, U in enumerate(pyramid.upsamples)
-    ]
+    # upsamples reuse the plain Laplacian op. Only composed on request:
+    # the wider-band composite blocks carry ~40% more data than U per
+    # level (docs/PERF.md), and the default fuse_decoder=False path would
+    # otherwise build, upload and hold operators it never applies.
+    lap_ups = []
+    if build_fused:
+        lap_ups = [
+            laps[i] if _is_identity(U)
+            else make_op(sp.csr_matrix(scaled[i] @ U), mode, dtype, **kw)
+            for i, U in enumerate(pyramid.upsamples)
+        ]
     laps_d = [make_op(L, mode, dtype, **kw) for L in disc_pyramid.scaled_laplacians()]
     downs_d = [make_op(D, mode, dtype, **kw) for D in disc_pyramid.downsamples]
     # losses consume natural-layout predictions; edge_op stays natural

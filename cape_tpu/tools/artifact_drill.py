@@ -158,23 +158,62 @@ def main(argv=None) -> None:
     )
     from cape_tpu.train.checkpoint import flatten_tree
 
-    perm = ctx.vertex_perm
-    if args.tf_ckpt is not None:
-        from cape_tpu.tools.tf_ckpt_converter import read_tf_checkpoint
+    from cape_tpu.tools.tf_ckpt_converter import (
+        _permute_flat_vertex_axis, read_tf_checkpoint,
+    )
 
+    perm = ctx.vertex_perm
+    from cape_tpu.meshops.ordering import pyramid_orderings
+    from cape_tpu.meshops.pyramid import build_pyramid as _build_pyr
+
+    if cfg.ds_factors == [1, 2, 1, 2, 1, 2, 1, 1]:
+        _pyr = assets.load_pyramid("for_demo")     # matches build_context
+    else:
+        _verts, _faces = assets.template_mesh()
+        _pyr = _build_pyr(_verts, _faces, cfg.ds_factors)
+    coarse_perm = pyramid_orderings(_pyr)[-1]
+
+    if args.tf_ckpt is not None:
         tfvars = read_tf_checkpoint(args.tf_ckpt)
     else:
         ref_params = jax.device_get(
             jax.jit(model.init_params)(jax.random.PRNGKey(7), ctx)
         )
         tfvars = synthesize_reference_vars(ref_params, cfg)
-        # real checkpoints store the out bias in natural vertex order
+        # real checkpoints store every vertex-indexed quantity in NATURAL
+        # order: un-permute the out bias and the flattened-coarse-vertex
+        # axes of the fc heads so the fabricated checkpoint is exactly what
+        # the published archive would hold
         inv = np.empty_like(perm)
         inv[perm] = np.arange(len(perm))
+        inv_c = np.empty_like(coarse_perm)
+        inv_c[coarse_perm] = np.arange(len(coarse_perm))
         tfvars["generator/decoder/outputs/bias"] = np.asarray(
             ref_params["generator"]["decoder"]["out"]["b"]
         )[inv][None]
-    converted = convert(tfvars, cfg, vertex_perm=perm)
+        for head in ("fc_mean", "fc_var"):
+            k = f"generator/encoder/{head}/dense/kernel"
+            tfvars[k] = _permute_flat_vertex_axis(tfvars[k], inv_c, axis=0)
+        tfvars["generator/decoder/fc1/dense/kernel"] = _permute_flat_vertex_axis(
+            tfvars["generator/decoder/fc1/dense/kernel"], inv_c, axis=1
+        )
+        tfvars["generator/decoder/fc1/dense/bias"] = _permute_flat_vertex_axis(
+            tfvars["generator/decoder/fc1/dense/bias"], inv_c, axis=0
+        )
+        # write + read back a REAL tf.train.Saver file when TF is available
+        # (the exact journey of checkpoint-landing day); else stay in-memory
+        try:
+            from cape_tpu.tools.tf_ckpt_converter import write_tf_checkpoint
+
+            saved = write_tf_checkpoint(
+                tfvars, os.path.join(workdir, "tf_standin", "model"),
+                global_step=100, fake_slots=True,
+            )
+            tfvars = read_tf_checkpoint(saved)
+            print(f"DRILL convert: via real TF Saver file {saved}", flush=True)
+        except ImportError:
+            print("DRILL convert: TF unavailable, in-memory variables", flush=True)
+    converted = convert(tfvars, cfg, vertex_perm=perm, coarse_perm=coarse_perm)
     verify_against_template(converted, model, ctx)
     npz_path = os.path.join(workdir, "converted_params.npz")
     np.savez(npz_path, **flatten_tree(converted))

@@ -70,7 +70,7 @@ def _timed_chained(step, x0, extra, inner=128, reps=8, warmup=2):
     return 1000.0 * times[len(times) // 2] / inner
 
 
-def _flagship_ctx(dtype, padded: bool = False):
+def _flagship_ctx(dtype, padded: bool = False, build_fused: bool = False):
     import numpy as np
 
     from cape_tpu.meshops import assets
@@ -80,6 +80,7 @@ def _flagship_ctx(dtype, padded: bool = False):
     return build_graph_context(
         assets.load_pyramid("for_demo"), assets.load_pyramid("ds2"),
         assets.smpl_edges(), verts, dtype=np.dtype(dtype), padded=padded,
+        build_fused=build_fused,
     )
 
 
@@ -496,7 +497,9 @@ def cmd_step(args):
         compute_dtype=args.dtype, padded_layout=bool(args.padded),
         remat=bool(args.remat), fuse_decoder=bool(args.fuse),
     )
-    ctx = _flagship_ctx(args.dtype, padded=cfg.padded_layout)
+    ctx = _flagship_ctx(
+        args.dtype, padded=cfg.padded_layout, build_fused=cfg.fuse_decoder
+    )
     model = CAPE(cfg)
     params = jax.jit(model.init_params)(jax.random.PRNGKey(0), ctx)
     tx, _, _ = build_optimizer(cfg, steps_per_epoch=1940)

@@ -66,6 +66,42 @@ def read_tf_checkpoint(path: str) -> dict[str, np.ndarray]:
     return out
 
 
+def write_tf_checkpoint(
+    tfvars: dict[str, np.ndarray],
+    prefix: str,
+    global_step: int | None = None,
+    fake_slots: bool = False,
+) -> str:
+    """Save reference-named variables as a REAL tf.train.Saver (V2 format)
+    checkpoint — the exact on-disk format of the published models
+    (reference lib/models.py:351 `tf.train.Saver(max_to_keep=5)`).
+
+    Used by the artifact drill and tests/test_tf_checkpoint.py so the
+    read_tf_checkpoint -> convert journey exercises genuine TF-written
+    files, not in-memory dicts. fake_slots additionally writes an optimizer
+    slot variable and a global_step, which read_tf_checkpoint must filter.
+    Returns the saved checkpoint prefix (what latest_checkpoint resolves).
+    """
+    import tensorflow as tf
+
+    g = tf.Graph()
+    with g.as_default():
+        for name, v in tfvars.items():
+            tf.compat.v1.Variable(np.asarray(v), name=name)
+        if fake_slots:
+            first = next(iter(tfvars))
+            tf.compat.v1.Variable(
+                np.zeros_like(np.asarray(tfvars[first])), name=f"{first}/Momentum"
+            )
+            tf.compat.v1.Variable(
+                np.int64(global_step or 0), name="training/global_step"
+            )
+        saver = tf.compat.v1.train.Saver(max_to_keep=5)
+        with tf.compat.v1.Session(graph=g) as sess:
+            sess.run(tf.compat.v1.global_variables_initializer())
+            return saver.save(sess, prefix, global_step=global_step)
+
+
 def cheb_to_ours(w_flat: np.ndarray, K: int) -> np.ndarray:
     """[Fin*K, Fout] (row = fin*K + k) -> [K, Fin, Fout]."""
     fin = w_flat.shape[0] // K
@@ -81,12 +117,13 @@ def ours_to_tf_cheb(w: np.ndarray) -> np.ndarray:
 
 
 def synthesize_reference_vars(params: dict, cfg) -> dict:
-    """Inverse of convert() for the affine decoder family: our param tree
-    -> a reference-named TF variable dict (lib/models.py scope names).
+    """Inverse of convert() for every block family: our param tree -> a
+    reference-named TF variable dict (lib/models.py scope names).
 
-    Used by the converter roundtrip tests and the artifact-landing drill
-    (tools.artifact_drill) to exercise the published-checkpoint journey
-    without the license-gated checkpoint archive."""
+    Used by the converter roundtrip tests, the reference-transcription
+    parity oracle (tests/test_reference_parity.py) and the artifact-landing
+    drill (tools.artifact_drill) to exercise the published-checkpoint
+    journey without the license-gated checkpoint archive."""
     tf = {}
     tf["condition_pose/fc1/dense/kernel"] = params["cond_pose"]["fc1"]["kernel"]
     tf["condition_pose/fc1/dense/bias"] = params["cond_pose"]["fc1"]["bias"]
@@ -94,13 +131,27 @@ def synthesize_reference_vars(params: dict, cfg) -> dict:
     tf["condition_pose/fc2/dense/bias"] = params["cond_pose"]["fc2"]["bias"]
     tf["condition_clo_label/fc1/dense/kernel"] = params["cond_clo"]["fc1"]["kernel"]
     tf["condition_clo_label/fc1/dense/bias"] = params["cond_clo"]["fc1"]["bias"]
+    if "fc2" in params["cond_clo"]:
+        tf["condition_clo_label/fc2/dense/kernel"] = params["cond_clo"]["fc2"]["kernel"]
+        tf["condition_clo_label/fc2/dense/bias"] = params["cond_clo"]["fc2"]["bias"]
 
     enc = params["generator"]["encoder"]
     for i in range(cfg.num_conv_layers):
-        s = f"generator/encoder/encoder_conv{i + 1}"
-        tf[f"{s}/weights"] = ours_to_tf_cheb(np.asarray(enc[f"layer{i}"]["w"]))
-        tf[f"{s}/bias"] = np.asarray(enc[f"layer{i}"]["b"]).reshape(1, 1, -1)
-    tf["generator/encoder/1x1-conv/weights"] = ours_to_tf_cheb(np.asarray(enc["reduce"]["w"]))
+        layer = enc[f"layer{i}"]
+        if cfg.use_res_block:
+            s = f"generator/encoder/encoder_resblock{i + 1}"
+            tf[f"{s}/filter_1/weights"] = ours_to_tf_cheb(np.asarray(layer["conv1"]["w"]))
+            tf[f"{s}/bias_relu_1/bias"] = np.asarray(layer["conv1"]["b"]).reshape(1, 1, -1)
+            tf[f"{s}/filter_2/weights"] = ours_to_tf_cheb(np.asarray(layer["conv2"]["w"]))
+            tf[f"{s}/bias_relu_2/bias"] = np.asarray(layer["conv2"]["b"]).reshape(1, 1, -1)
+            if "proj" in layer:
+                tf[f"{s}/1x1-conv/weights"] = ours_to_tf_cheb(np.asarray(layer["proj"]["w"]))
+        else:
+            s = f"generator/encoder/encoder_conv{i + 1}"
+            tf[f"{s}/weights"] = ours_to_tf_cheb(np.asarray(layer["w"]))
+            tf[f"{s}/bias"] = np.asarray(layer["b"]).reshape(1, 1, -1)
+    if "reduce" in enc:
+        tf["generator/encoder/1x1-conv/weights"] = ours_to_tf_cheb(np.asarray(enc["reduce"]["w"]))
     for head in ("fc_mean", "fc_var"):
         tf[f"generator/encoder/{head}/dense/kernel"] = enc[head]["kernel"]
         tf[f"generator/encoder/{head}/dense/bias"] = enc[head]["bias"]
@@ -108,11 +159,31 @@ def synthesize_reference_vars(params: dict, cfg) -> dict:
     dec = params["generator"]["decoder"]
     tf["generator/decoder/fc1/dense/kernel"] = dec["fc1"]["kernel"]
     tf["generator/decoder/fc1/dense/bias"] = dec["fc1"]["bias"]
-    tf["generator/decoder/1x1-conv/weights"] = ours_to_tf_cheb(np.asarray(dec["expand"]["w"]))
+    if "expand" in dec:
+        tf["generator/decoder/1x1-conv/weights"] = ours_to_tf_cheb(np.asarray(dec["expand"]["w"]))
     for i in range(cfg.num_conv_layers):
-        s = f"generator/decoder/decoder_resblock_affine{i + 1}"
-        tf[f"{s}/graph_conv/weights"] = ours_to_tf_cheb(np.asarray(dec[f"layer{i}"]["conv"]["w"]))
-        tf[f"{s}/affine/weights"] = ours_to_tf_cheb(np.asarray(dec[f"layer{i}"]["affine"]["w"]))
+        layer = dec[f"layer{i}"]
+        if cfg.use_res_block_dec and cfg.affine:
+            s = f"generator/decoder/decoder_resblock_affine{i + 1}"
+            tf[f"{s}/graph_conv/weights"] = ours_to_tf_cheb(np.asarray(layer["conv"]["w"]))
+            tf[f"{s}/affine/weights"] = ours_to_tf_cheb(np.asarray(layer["affine"]["w"]))
+        elif cfg.use_res_block_dec:
+            s = f"generator/decoder/decoder_resblock_cmr{i + 1}"
+            tf[f"{s}/group_norm/gamma"] = np.asarray(layer["gn0"]["gamma"])
+            tf[f"{s}/group_norm/beta"] = np.asarray(layer["gn0"]["beta"])
+            tf[f"{s}/graph_linear_1/weights"] = ours_to_tf_cheb(np.asarray(layer["lin1"]["w"]))
+            tf[f"{s}/group_norm_1/gamma"] = np.asarray(layer["gn1"]["gamma"])
+            tf[f"{s}/group_norm_1/beta"] = np.asarray(layer["gn1"]["beta"])
+            tf[f"{s}/graph_conv/weights"] = ours_to_tf_cheb(np.asarray(layer["conv"]["w"]))
+            tf[f"{s}/group_norm_2/gamma"] = np.asarray(layer["gn2"]["gamma"])
+            tf[f"{s}/group_norm_2/beta"] = np.asarray(layer["gn2"]["beta"])
+            tf[f"{s}/graph_linear_2/weights"] = ours_to_tf_cheb(np.asarray(layer["lin2"]["w"]))
+            if "proj" in layer:
+                tf[f"{s}/graph_linear_input/weights"] = ours_to_tf_cheb(np.asarray(layer["proj"]["w"]))
+        else:
+            s = f"generator/decoder/decoder_conv{i + 1}"
+            tf[f"{s}/weights"] = ours_to_tf_cheb(np.asarray(layer["w"]))
+            tf[f"{s}/bias"] = np.asarray(layer["b"]).reshape(1, 1, -1)
     tf["generator/decoder/outputs/weights"] = ours_to_tf_cheb(np.asarray(dec["out"]["w"]))
     tf["generator/decoder/outputs/bias"] = np.asarray(dec["out"]["b"])[None]
 
@@ -145,13 +216,41 @@ def _gn(tfvars, scope: str) -> dict:
     return {"gamma": tfvars[f"{scope}/gamma"], "beta": tfvars[f"{scope}/beta"]}
 
 
-def convert(tfvars: dict[str, np.ndarray], cfg, vertex_perm: np.ndarray | None = None) -> dict:
+def _permute_flat_vertex_axis(k: np.ndarray, perm: np.ndarray, axis: int) -> np.ndarray:
+    """Permute the vertex factor of a flattened [V*C] dense axis.
+
+    The encoder flatten / decoder reshape use row-major [B, V, C] ->
+    [B, V*C] (lib/models.py:554, 584), so flat index = v*C + c; the banded
+    runtime's coarse level lives in permuted vertex order, so kernel
+    rows/columns must follow."""
+    k = np.asarray(k)
+    V = len(perm)
+    C = k.shape[axis] // V
+    shape = list(k.shape)
+    shape[axis : axis + 1] = [V, C]
+    kr = k.reshape(shape)
+    kr = np.take(kr, np.asarray(perm), axis=axis)
+    return np.ascontiguousarray(kr.reshape(k.shape))
+
+
+def convert(
+    tfvars: dict[str, np.ndarray],
+    cfg,
+    vertex_perm: np.ndarray | None = None,
+    coarse_perm: np.ndarray | None = None,
+) -> dict:
     """Build the cape_tpu param tree from reference TF variables for the
     architecture described by cfg (a CAPEConfig).
 
     vertex_perm: level-0 vertex permutation of the target runtime (the
     banded op mode stores the per-vertex decoder output bias in device
     order); None for natural-order (ell/dense) runtimes.
+    coarse_perm: coarsest-level vertex permutation (pyramid_orderings[-1]).
+    The encoder fc_mean/fc_var kernels and the decoder fc1 kernel+bias
+    index flattened coarse-level vertices (lib/models.py:554-560, 579-584),
+    which the banded runtime holds in permuted order — without this their
+    vertex factor stays natural and a converted checkpoint produces garbage
+    latents (caught by tests/test_reference_parity.py).
     """
     K, Kd, n = cfg.K, cfg.Kd, cfg.num_conv_layers
 
@@ -188,8 +287,20 @@ def convert(tfvars: dict[str, np.ndarray], cfg, vertex_perm: np.ndarray | None =
         }
     encoder["fc_mean"] = _dense(tfvars, "generator/encoder/fc_mean")
     encoder["fc_var"] = _dense(tfvars, "generator/encoder/fc_var")
+    if coarse_perm is not None:
+        for head in ("fc_mean", "fc_var"):
+            encoder[head]["kernel"] = _permute_flat_vertex_axis(
+                encoder[head]["kernel"], coarse_perm, axis=0
+            )
 
     decoder: dict = {"fc1": _dense(tfvars, "generator/decoder/fc1")}
+    if coarse_perm is not None:
+        decoder["fc1"]["kernel"] = _permute_flat_vertex_axis(
+            decoder["fc1"]["kernel"], coarse_perm, axis=1
+        )
+        decoder["fc1"]["bias"] = _permute_flat_vertex_axis(
+            decoder["fc1"]["bias"], coarse_perm, axis=0
+        )
     if cfg.reduce_dim > 0:
         decoder["expand"] = {
             "w": cheb_to_ours(tfvars["generator/decoder/1x1-conv/weights"], 1)
@@ -281,14 +392,15 @@ def main(argv=None):
     cfg = load_config(args.config)
     tfvars = read_tf_checkpoint(args.checkpoint)
 
-    vertex_perm = None
+    vertex_perm = coarse_perm = None
     if cfg.op_mode == "banded":
         # the banded runtime stores per-vertex params in RCM order
         from cape_tpu.meshops import assets as _assets
         from cape_tpu.meshops.ordering import pyramid_orderings
 
-        vertex_perm = pyramid_orderings(_assets.load_pyramid("for_demo"))[0]
-    params = convert(tfvars, cfg, vertex_perm=vertex_perm)
+        perms = pyramid_orderings(_assets.load_pyramid("for_demo"))
+        vertex_perm, coarse_perm = perms[0], perms[-1]
+    params = convert(tfvars, cfg, vertex_perm=vertex_perm, coarse_perm=coarse_perm)
 
     if args.verify:
         from cape_tpu.apps.main import build_context

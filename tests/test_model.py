@@ -344,7 +344,7 @@ def test_fused_decoder_matches_unfused(name, padded):
     pyr_d = assets.load_pyramid("ds2")
     verts, _ = assets.template_mesh()
     ctx = build_graph_context(
-        pyr, pyr_d, assets.smpl_edges(), verts, padded=padded
+        pyr, pyr_d, assets.smpl_edges(), verts, padded=padded, build_fused=True
     )
     cfg = CONFIGS[name]
     m_fused = CAPE(cfg.replace(fuse_decoder=True))

@@ -623,7 +623,9 @@ def test_lap_up_composite_matches_sequential(small_mesh):
     rng = np.random.default_rng(3)
 
     for padded in (False, True):
-        ctx = build_graph_context(pyr, pyr_d, edges, verts, padded=padded)
+        ctx = build_graph_context(
+            pyr, pyr_d, edges, verts, padded=padded, build_fused=True
+        )
         assert len(ctx.lap_up) == len(ctx.up)
         fused_real = 0
         for lap, up, lap_up in zip(ctx.lap, ctx.up, ctx.lap_up):
@@ -652,3 +654,37 @@ def test_lap_up_composite_matches_sequential(small_mesh):
                     np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
                 )
         assert fused_real >= 3
+
+
+def test_lap_up_not_built_by_default(small_mesh):
+    """The composed L~@U operators cost ~40% more block data than U per
+    level; the default (fuse_decoder=False) context must not build or hold
+    them, and asking the model to fuse on such a context fails loudly."""
+    import jax as _jax
+    import pytest as _pytest
+
+    from cape_tpu.core.config import CAPEConfig
+    from cape_tpu.meshops.pyramid import build_pyramid
+    from cape_tpu.meshops.topology import vertices_per_edge
+    from cape_tpu.models.cape import CAPE
+    from cape_tpu.ops.sparse import build_graph_context
+
+    verts, faces = small_mesh
+    pyr = build_pyramid(verts, faces, [1, 2, 1, 1])
+    pyr_d = build_pyramid(verts, faces, [2, 2])
+    edges = vertices_per_edge(faces, len(verts))
+    ctx = build_graph_context(pyr, pyr_d, edges, verts)
+    assert ctx.lap_up == ()
+
+    cfg = CAPEConfig(
+        num_conv_layers=4, nf=8, nz=6, nz_cond=5, nz_cond2=3,
+        use_res_block_dec=True, affine=True, reduce_dim=0, batch_size=2,
+        fuse_decoder=True,
+    )
+    model = CAPE(cfg)
+    params = model.init_params(_jax.random.PRNGKey(0), ctx)
+    z = jnp.zeros((2, cfg.z_total_dim))
+    y = jnp.zeros((2, cfg.nz_cond))
+    y2 = jnp.zeros((2, cfg.nz_cond2))
+    with _pytest.raises(ValueError, match="build_fused"):
+        model.decode(params, ctx, z, y, y2)

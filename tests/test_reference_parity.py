@@ -1,0 +1,206 @@
+"""Whole-model numerical parity vs the reference-transcription oracle.
+
+The highest-risk seam of the rebuild: all internal consistency tests
+(folded==concat, padded==natural, fused==unfused) could agree with each
+other and still disagree with the reference's *wiring* (concat order,
+reduce_dim placement, flatten order, skip projections). This file closes
+that seam: `tests/reference_oracle.py` is a straight-line numpy
+transcription of /root/reference/lib/models.py:479-832 (the reference
+forward *as written*, flat [Fin*K, Fout] filterbanks, materialized cond
+concat before every layer), and every cell of the config matrix asserts
+that the production JAX model — through the real converter
+(tools.tf_ckpt_converter.convert), in both the natural ELL runtime and the
+production banded+persistent-padded runtime — matches it.
+
+Matrix (VERDICT r3 item 1): {plain udn, CMR, affine} decoders x
+{plain, res} encoders x cond_encoder {0,1} x reduce_dim {0,nf//2}.
+
+Runs on a 258-vertex icosphere pyramid (4 conv layers, 2 discriminator
+levels) so the whole matrix is fast-tier; the full-template wiring is the
+same code path (layer counts and channel plans differ only numerically).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from reference_oracle import ReferenceCAPE
+
+from cape_tpu.core.config import CAPEConfig
+from cape_tpu.meshops.ordering import pyramid_orderings
+from cape_tpu.meshops.pyramid import build_pyramid
+from cape_tpu.meshops.toy import icosphere
+from cape_tpu.models.cape import CAPE
+from cape_tpu.ops.sparse import build_graph_context
+from cape_tpu.tools.tf_ckpt_converter import convert, synthesize_reference_vars
+
+FACTORS = [1, 2, 1, 1]     # 4 conv layers (cfg.ds_factors for n=4)
+FACTORS_D = [2, 2]         # 2 discriminator conv+pool levels
+B = 2
+
+
+def _invert(perm: np.ndarray) -> np.ndarray:
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    return inv
+
+
+@pytest.fixture(scope="module")
+def world():
+    """Toy pyramids + both runtime contexts + orderings, built once."""
+    verts, faces = icosphere(3)                      # 258 verts
+    pyr = build_pyramid(verts, faces, FACTORS)
+    pyr_d = build_pyramid(verts, faces, FACTORS_D)
+    edges = pyr.edges[0]
+
+    ctx_ell = build_graph_context(pyr, pyr_d, edges, verts, mode="ell")
+    ctx_banded = build_graph_context(pyr, pyr_d, edges, verts, mode="banded", padded=True)
+
+    perms = pyramid_orderings(pyr)
+    perms_d = pyramid_orderings(pyr_d, base_perm=perms[0])
+    return dict(
+        verts=verts, pyr=pyr, pyr_d=pyr_d,
+        ctx_ell=ctx_ell, ctx_banded=ctx_banded,
+        perm0=perms[0], coarse_perm=perms[-1],
+        inv0=_invert(perms[0]), inv_d=_invert(perms_d[-1]),
+    )
+
+
+def _make_cfg(enc_res: bool, dec: str, cond_enc: bool, reduce: int) -> CAPEConfig:
+    return CAPEConfig(
+        num_conv_layers=4, nf=8, nz=6, nz_cond=5, nz_cond2=3,
+        use_res_block=enc_res,
+        use_res_block_dec=(dec != "udn"),
+        affine=(dec == "affine"),
+        cond_encoder=cond_enc,
+        reduce_dim=reduce,
+        batch_size=B,
+    )
+
+
+def _random_reference_vars(cfg, ctx_natural) -> dict:
+    """A reference-named TF variable dict with the right shapes for cfg and
+    fully randomized values (so constant-init biases / unit gammas cannot
+    mask permutation or wiring bugs)."""
+    import jax
+
+    params = CAPE(cfg).init_params(jax.random.PRNGKey(0), ctx_natural)
+    shapes = synthesize_reference_vars(jax.device_get(params), cfg)
+    rng = np.random.default_rng(hash(repr(cfg)) % (2**32))
+    out = {}
+    for name, v in shapes.items():
+        x = rng.standard_normal(v.shape).astype(np.float32) * 0.2
+        if name.endswith("/gamma"):
+            x = x + 1.0
+        out[name] = x
+    return out
+
+
+def _oracle(refvars, cfg, w) -> ReferenceCAPE:
+    pyr, pyr_d = w["pyr"], w["pyr_d"]
+    return ReferenceCAPE(
+        refvars,
+        pyr.adjacencies, pyr.downsamples, pyr.upsamples,
+        pyr_d.adjacencies, pyr_d.downsamples,
+        out_channels=cfg.channels, K=cfg.K, Kd=cfg.Kd,
+        nz=cfg.nz, nz_cond=cfg.nz_cond, nz_cond2=cfg.nz_cond2,
+        n_layer_cond=cfg.n_layer_cond,
+        use_res_block=cfg.use_res_block,
+        use_res_block_dec=cfg.use_res_block_dec,
+        affine=cfg.affine, cond_encoder=cfg.cond_encoder,
+        reduce_dim=cfg.reduce_dim,
+    )
+
+
+MATRIX = [
+    pytest.param(enc, dec, ce, rd, id=f"enc={'res' if enc else 'plain'}-dec={dec}-cond={int(ce)}-rd={rd}")
+    for enc in (False, True)
+    for dec in ("udn", "cmr", "affine")
+    for ce in (False, True)
+    for rd in (0, 4)
+]
+
+
+@pytest.mark.parametrize("enc_res,dec,cond_enc,reduce", MATRIX)
+def test_matches_reference_transcription(world, enc_res, dec, cond_enc, reduce):
+    w = world
+    cfg = _make_cfg(enc_res, dec, cond_enc, reduce)
+    refvars = _random_reference_vars(cfg, w["ctx_ell"])
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((B, 258, 3)).astype(np.float32) * 0.3
+    pose = rng.standard_normal((B, cfg.cond_dim)).astype(np.float32)
+    clo = np.eye(cfg.cond2_dim, dtype=np.float32)[rng.integers(0, cfg.cond2_dim, B)]
+    z = rng.standard_normal((B, cfg.nz)).astype(np.float32)
+
+    # ---- the reference graph, as written --------------------------------
+    oracle = _oracle(refvars, cfg, w)
+    y_o, y2_o = oracle.embed_conditions(pose, clo)
+    zm_o, zv_o = oracle.encoder(x, y_o, y2_o)
+    z_total_o = np.concatenate([z, y_o, y2_o], axis=-1)
+    xhat_o = oracle.decoder_cond_vert(z_total_o, y_o, y2_o)
+    d_o = oracle.discriminator(x, y_o, y2_o)
+
+    # ---- the production JAX model on converted weights ------------------
+    model = CAPE(cfg)
+    for runtime in ("ell", "banded"):
+        if runtime == "ell":
+            ctx = w["ctx_ell"]
+            params = convert(refvars, cfg)
+            x_dev = x
+        else:
+            ctx = w["ctx_banded"]
+            params = convert(
+                refvars, cfg, vertex_perm=w["perm0"], coarse_perm=w["coarse_perm"]
+            )
+            x_dev = x[:, w["perm0"]]
+
+        y, y2 = model.embed_conditions(params, pose, clo)
+        np.testing.assert_allclose(np.asarray(y), y_o, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"[{runtime}] pose embedding")
+        np.testing.assert_allclose(np.asarray(y2), y2_o, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"[{runtime}] clotype embedding")
+
+        zm, zv = model.encode(params, ctx, x_dev, y, y2)
+        np.testing.assert_allclose(np.asarray(zm), zm_o, rtol=2e-4, atol=1e-4,
+                                   err_msg=f"[{runtime}] z_mean")
+        np.testing.assert_allclose(np.asarray(zv), zv_o, rtol=2e-4, atol=1e-4,
+                                   err_msg=f"[{runtime}] z_logvar")
+
+        xhat = np.asarray(model.decode(params, ctx, z_total_o, y, y2))
+        if runtime == "banded":
+            xhat = xhat[:, w["inv0"]]
+        np.testing.assert_allclose(xhat, xhat_o, rtol=2e-4, atol=1e-4,
+                                   err_msg=f"[{runtime}] decoder output")
+
+        d = np.asarray(model.discriminate(params, ctx, x_dev, y, y2))
+        if runtime == "banded":
+            d = d[:, w["inv_d"]]
+        np.testing.assert_allclose(d, d_o, rtol=2e-4, atol=1e-4,
+                                   err_msg=f"[{runtime}] discriminator map")
+
+
+def test_oracle_chebyshev_against_dense_polynomial(world):
+    """Sanity-check the oracle itself: chebyshev5 == explicit dense
+    Chebyshev polynomial sum_k T_k(L~) x W_k on a random graph."""
+    from reference_oracle import chebyshev5, scaled_laplacians
+
+    w = world
+    Ls = scaled_laplacians([w["pyr"].adjacencies[0]])[0]
+    rng = np.random.default_rng(3)
+    K, Fin, Fout, V = 3, 4, 5, Ls.shape[0]
+    x = rng.standard_normal((B, V, Fin)).astype(np.float32)
+    Wk = rng.standard_normal((K, Fin, Fout)).astype(np.float32)
+    # reference flat layout: row index = fin*K + k
+    W_flat = Wk.transpose(1, 0, 2).reshape(Fin * K, Fout)
+
+    got = chebyshev5(x, Ls, W_flat, K)
+
+    Ld = np.asarray(Ls.todense())
+    T = [np.eye(V), Ld]
+    T.append(2.0 * Ld @ T[1] - T[0])
+    want = np.zeros((B, V, Fout), np.float32)
+    for k in range(K):
+        want += np.einsum("vw,bwf,fo->bvo", T[k].astype(np.float32), x, Wk[k])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

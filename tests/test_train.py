@@ -443,3 +443,32 @@ def test_trainer_auto_mesh_clamps_to_batch(tiny):
     assert t.dp.num_devices == 8
     with pytest.raises(ValueError, match="does not divide"):
         Trainer(cfg.replace(batch_size=4, data_parallel=8), model, ctx, data)
+
+
+@pytest.mark.slow
+def test_training_with_pose_type_pose(small_mesh, tmp_path):
+    """End-to-end training on 42-dim axis-angle conditions (pose_type=
+    'pose'): the reference supports it via config (config_parser.py:31,
+    lib/utils.py:40-62) but ships no preset; pin that the whole loop runs
+    and learns with cond_dim=42."""
+    verts, faces = small_mesh
+    nv = len(verts)
+    cfg = CAPEConfig(
+        name="pose_aa_test", nf=4, nz=8, nz_cond=8, nz_cond2=4,
+        use_res_block=False, use_res_block_dec=True, affine=True,
+        reduce_dim=8, batch_size=8, num_epochs=2, lambda_edge=1.0,
+        lr=2e-3, optimizer="adam", data_parallel=1,
+        pose_type="pose", cond_dim=42,
+    )
+    pyr = build_pyramid(verts, faces, cfg.ds_factors)
+    pyr_d = build_pyramid(verts, faces, [2, 2, 2, 2])
+    ctx = build_graph_context(pyr, pyr_d, vertices_per_edge(faces, nv), verts)
+    data = synthetic_bodydata(
+        n_train=96, n_test=16, num_verts=nv, seed=0, n_val=16, pose_type="pose"
+    )
+    assert data.pose_train.shape[-1] == 42     # 72-d axis-angle filtered
+
+    trainer = Trainer(cfg, model=CAPE(cfg), ctx=ctx, data=data, workdir=str(tmp_path))
+    val_losses, _ = trainer.fit()
+    assert np.all(np.isfinite(val_losses))
+    assert val_losses[-1] <= val_losses[0]
