@@ -64,12 +64,59 @@ def _wait_for_backend(max_wait_s: float = 1800.0, probe_timeout_s: float = 90.0)
             delay = min(delay * 2, 300.0)
 
 
-def main(num_steps: int = 192, warmup: int = STEPS_PER_DISPATCH) -> dict:
+def _tiny_setup(compute_dtype: str = "float32", batch_size: int = 16):
+    """Icosphere stand-in for the CPU virtual-mesh smoke: same code paths
+    (banded padded ops, fused GAN step, DP sharding), 258 verts instead of
+    6890 so a 1-CPU host can compile+run the protocol in ~a minute."""
+    from cape_tpu.core.config import CAPEConfig
+    from cape_tpu.meshops.pyramid import build_pyramid
+    from cape_tpu.meshops.topology import vertices_per_edge
+    from cape_tpu.meshops.toy import icosphere
+    from cape_tpu.models.cape import CAPE
+    from cape_tpu.ops.sparse import build_graph_context
+
+    cfg = CAPEConfig(
+        name="bench_tiny", nf=4, nz=8, nz_cond=8, nz_cond2=4,
+        use_res_block=False, use_res_block_dec=True, affine=True,
+        reduce_dim=8, batch_size=batch_size, compute_dtype=compute_dtype,
+    )
+    verts, faces = icosphere(3)
+    pyr = build_pyramid(verts, faces, cfg.ds_factors)
+    pyr_d = build_pyramid(verts, faces, [2, 2, 2, 2])
+    ctx = build_graph_context(
+        pyr, pyr_d, vertices_per_edge(faces, len(verts)), verts,
+        padded=cfg.padded_layout,
+    )
+    return cfg, CAPE(cfg), ctx
+
+
+def main(
+    num_steps: int = 192,
+    warmup: int = STEPS_PER_DISPATCH,
+    data_parallel: int = 0,
+    platform: str | None = None,
+    preset: str = "flagship",
+) -> dict:
+    """data_parallel: devices in the DP mesh (0 = all local devices) —
+    the day multi-chip hardware attaches, `python bench.py
+    --data_parallel N` is the whole scaling story (VERDICT r3 item 7).
+    platform='cpu' runs the identical protocol on the virtual host mesh
+    (correctness/scaling smoke, not a perf number); pair it with
+    --preset tiny so a 1-CPU host finishes the smoke in ~a minute."""
     import os
 
-    _wait_for_backend()
+    if platform == "cpu" and data_parallel > 1:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={data_parallel}"
+        )
+    if platform is None:
+        _wait_for_backend()
 
     import jax
+
+    if platform is not None:
+        jax.config.update("jax_platforms", platform)
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     try:
@@ -89,18 +136,22 @@ def main(num_steps: int = 192, warmup: int = STEPS_PER_DISPATCH) -> dict:
     # bfloat16 mixed precision (params f32, compute bf16) is the production
     # config: end-metric equivalence with f32 is recorded in docs/PERF.md
     # (cape_tpu.tools.dtype_ablation — euclidean metric gap 0.03%)
-    cfg, model, ctx = _flagship_setup(compute_dtype="bfloat16")
+    if preset == "tiny":
+        cfg, model, ctx = _tiny_setup(compute_dtype="bfloat16")
+    else:
+        cfg, model, ctx = _flagship_setup(compute_dtype="bfloat16")
+    num_verts = ctx.level_sizes[0]
     params = jax.jit(model.init_params)(jax.random.PRNGKey(0), ctx)
     tx, _, _ = build_optimizer(cfg, steps_per_epoch=1940)  # male-set epochs
 
-    dp = DataParallel()
+    dp = DataParallel(n_devices=data_parallel)
     n_chips = dp.num_devices
     multi_fn = dp.compile_multi_train_step(build_multi_train_step(model, cfg, tx))
 
     # device-resident dataset, as in training: per-dispatch host traffic is
     # two [K, batch] int32 index arrays
     data = synthetic_bodydata(
-        n_train=max(256, cfg.batch_size * 4), n_test=8, num_verts=6890, seed=0
+        n_train=max(256, cfg.batch_size * 4), n_test=8, num_verts=num_verts, seed=0
     )
     perm = ctx.vertex_perm
     disp = data.disp_train if perm is None else np.ascontiguousarray(data.disp_train[:, perm])
@@ -137,15 +188,33 @@ def main(num_steps: int = 192, warmup: int = STEPS_PER_DISPATCH) -> dict:
     assert all(np.isfinite(v) for v in m.values()), f"non-finite metrics: {m}"
 
     steps_per_sec = done / dt
+    metric_name = "flagship_train_steps_per_sec_per_chip (batch16, CAPE-affineconv_nz64)"
+    if preset != "flagship" or platform is not None:
+        # a smoke run is never the headline number
+        metric_name = f"SMOKE[{preset},{platform or 'default'}]_train_steps_per_sec_per_chip"
     result = {
-        "metric": "flagship_train_steps_per_sec_per_chip (batch16, CAPE-affineconv_nz64)",
+        "metric": metric_name,
         "value": round(steps_per_sec / n_chips, 3),
         "unit": "steps/sec",
         "vs_baseline": round(steps_per_sec / n_chips / REFERENCE_STEPS_PER_SEC, 3),
+        "chips": n_chips,
+        "aggregate_steps_per_sec": round(steps_per_sec, 3),
     }
     print(json.dumps(result))
     return result
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="devices in the DP mesh (0 = all local devices)")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform; 'cpu' = virtual-mesh smoke")
+    p.add_argument("--preset", default="flagship", choices=["flagship", "tiny"],
+                   help="tiny = icosphere stand-in for CPU smokes")
+    p.add_argument("--num_steps", type=int, default=192)
+    a = p.parse_args()
+    main(num_steps=a.num_steps, data_parallel=a.data_parallel,
+         platform=a.platform, preset=a.preset)

@@ -72,6 +72,7 @@ class Trainer:
         # the same compute; only the lead process touches the filesystem
         # (checkpoints, metrics, profiles)
         self.lead = jax.process_index() == 0
+        self.workdir = workdir
         self.run_dir = os.path.join(workdir, cfg.name)
         self.ckpt_dir = os.path.join(self.run_dir, "checkpoints")
         self._ckpt_thread: threading.Thread | None = None

@@ -17,20 +17,15 @@ from cape_tpu.ops.sparse import build_graph_context
 
 
 @pytest.fixture(scope="module")
-def engine_parts():
+def engine_parts(flagship_ctx):
     cfg = CAPEConfig(
         name="apps_test", nf=8, nz=18, nz_cond=24, nz_cond2=8,
         use_res_block=False, use_res_block_dec=True, affine=True,
         reduce_dim=8, batch_size=4,
     )
-    verts, _ = assets.template_mesh()
-    ctx = build_graph_context(
-        assets.load_pyramid("for_demo"), assets.load_pyramid("ds2"),
-        assets.smpl_edges(), verts,
-    )
     model = CAPE(cfg)
-    params = model.init_params(jax.random.PRNGKey(0), ctx)
-    return model, ctx, params
+    params = model.init_params(jax.random.PRNGKey(0), flagship_ctx)
+    return model, flagship_ctx, params
 
 
 @pytest.fixture(scope="module")
@@ -39,6 +34,7 @@ def engine(engine_parts):
     return InferenceEngine(model, ctx, params, batch_size=4)
 
 
+@pytest.mark.slow
 def test_mesh_parallel_engine_matches_single_device(engine_parts, engine):
     """Bulk inference sharded over the 8-device mesh returns the same
     values as the single-device engine (per-sample math is batch-
@@ -67,6 +63,7 @@ def test_mesh_parallel_engine_matches_single_device(engine_parts, engine):
     )
 
 
+@pytest.mark.slow
 def test_encode_only_condition_handles_uneven_batches(engine):
     rng = np.random.default_rng(0)
     pose = rng.standard_normal((6, 126)).astype(np.float32)   # not divisible by 4
@@ -78,6 +75,7 @@ def test_encode_only_condition_handles_uneven_batches(engine):
     np.testing.assert_allclose(y[:1], y_1, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_decode_broadcasts_single_condition(engine):
     rng = np.random.default_rng(1)
     nz = engine.model.cfg.nz
@@ -90,6 +88,7 @@ def test_decode_broadcasts_single_condition(engine):
     assert np.all(np.isfinite(out))
 
 
+@pytest.mark.slow
 def test_autoencode_mean_vs_sample(engine):
     rng = np.random.default_rng(2)
     disp = rng.standard_normal((3, 6890, 3)).astype(np.float32)
@@ -111,6 +110,7 @@ def demo_suite(engine, tmp_path_factory):
     )
 
 
+@pytest.mark.slow
 def test_demo_test_model_metric(demo_suite):
     data = synthetic_bodydata(n_train=24, n_test=6, num_verts=6890, n_val=4, seed=0)
     result = demo_suite.test_model(data)
@@ -121,6 +121,7 @@ def test_demo_test_model_metric(demo_suite):
     )
 
 
+@pytest.mark.slow
 def test_sample_vary_clotype_exports_objs(demo_suite):
     out = demo_suite.sample_vary_clotype()
     assert out.shape == (4, 2, 6890, 3)          # 4 clotypes x n_sample
@@ -129,11 +130,13 @@ def test_sample_vary_clotype_exports_objs(demo_suite):
     assert len(objs) == 8
 
 
+@pytest.mark.slow
 def test_sample_vary_pose(demo_suite):
     out = demo_suite.sample_vary_pose()
     assert out.shape == (6, 2, 6890, 3)          # 6 demo poses x n_sample
 
 
+@pytest.mark.slow
 def test_sample_gmm_prior(demo_suite):
     out = demo_suite.sample_gmm_prior(n=3)       # nz=18 matches the asset
     assert out.shape == (3, 6890, 3)
@@ -210,6 +213,7 @@ def test_banded_and_ell_modes_agree():
     np.testing.assert_allclose(out_band, out_ell, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_sample_gmm_sweep(demo_suite):
     out = demo_suite.sample_gmm_sweep(n=1)
     assert out.shape == (6, 4, 1, 6890, 3)      # poses x clotypes x n
@@ -236,6 +240,7 @@ def test_render_contact_sheet(small_mesh, tmp_path):
         assert sheet.size == (192, 96)
 
 
+@pytest.mark.slow
 def test_demo_vis_flag_writes_pngs(engine, tmp_path):
     """vis_demo wiring: DemoSuite(vis=True) emits a contact sheet and an
     interactive HTML viewer next to the .objs (replaces the reference

@@ -19,17 +19,13 @@ from cape_tpu.tools.export_model import ExportedModel, export_model
 
 
 @pytest.fixture(scope="module")
-def exported(tmp_path_factory):
+def exported(tmp_path_factory, flagship_ctx):
     cfg = CAPEConfig(
         name="export_test", nf=8, nz=18, nz_cond=24, nz_cond2=8,
         use_res_block=False, use_res_block_dec=True, affine=True,
         reduce_dim=8, batch_size=4,
     )
-    verts, _ = assets.template_mesh()
-    ctx = build_graph_context(
-        assets.load_pyramid("for_demo"), assets.load_pyramid("ds2"),
-        assets.smpl_edges(), verts,
-    )
+    ctx = flagship_ctx
     model = CAPE(cfg)
     params = jax.jit(model.init_params)(jax.random.PRNGKey(0), ctx)
     engine = InferenceEngine(model, ctx, params, batch_size=4)
@@ -40,6 +36,7 @@ def exported(tmp_path_factory):
     return path, meta, engine, cfg
 
 
+@pytest.mark.slow
 def test_meta_and_members(exported):
     path, meta, _, cfg = exported
     assert meta["nz"] == cfg.nz and meta["batch_size"] == 4
@@ -49,6 +46,7 @@ def test_meta_and_members(exported):
     assert {"meta.json", "embed.shlo", "encode.shlo", "decode.shlo"} <= names
 
 
+@pytest.mark.slow
 def test_parity_with_engine(exported):
     path, _, engine, cfg = exported
     em = ExportedModel.load(path)
@@ -73,6 +71,7 @@ def test_parity_with_engine(exported):
     )
 
 
+@pytest.mark.slow
 def test_loads_with_plain_jax(exported):
     """The deployment claim: running the artifact needs jax + stdlib only.
     Deserialize and call without any cape_tpu symbol."""
@@ -89,6 +88,7 @@ def test_loads_with_plain_jax(exported):
     assert out.shape == (4, 6890, 3) and np.isfinite(out).all()
 
 
+@pytest.mark.slow
 def test_symbolic_batch_export(exported, tmp_path):
     """--symbolic-batch lowers the batch dim symbolically: one artifact
     executes at any batch size and matches the fixed-batch artifact."""
@@ -122,6 +122,7 @@ def test_symbolic_batch_export(exported, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_quantized_export_smaller_and_close(exported, tmp_path):
     """--quantize int8 (+ bf16 graph constants): the artifact shrinks and
     the outputs stay close to the f32 export — weight-only symmetric
@@ -131,11 +132,7 @@ def test_quantized_export_smaller_and_close(exported, tmp_path):
 
     path32, _, engine, cfg = exported
     path8 = str(tmp_path / "q.capex")
-    verts, _ = assets.template_mesh()
-    ctx = build_graph_context(
-        assets.load_pyramid("for_demo"), assets.load_pyramid("ds2"),
-        assets.smpl_edges(), verts,
-    )
+    ctx = engine.ctx
     meta = export_model(
         engine.model, ctx, jax.device_get(engine.params), 4, path8,
         platforms=("cpu",), quantize="int8", constants_dtype="bfloat16",
@@ -185,6 +182,7 @@ def test_rejects_non_artifact(tmp_path):
         ExportedModel.load(str(bad))
 
 
+@pytest.mark.slow
 def test_artifact_serving(exported):
     """The model server runs on an ExportedEngine: deployment = artifact
     + server process, no config/checkpoint/model code."""

@@ -11,12 +11,10 @@ from cape_tpu.models.cape import CAPE, _cond_hidden_width
 from cape_tpu.ops.sparse import build_graph_context
 
 
-@pytest.fixture(scope="module")
-def ctx():
-    pyr = assets.load_pyramid("for_demo")
-    pyr_d = assets.load_pyramid("ds2")
-    verts, _ = assets.template_mesh()
-    return build_graph_context(pyr, pyr_d, assets.smpl_edges(), verts)
+@pytest.fixture()
+def ctx(flagship_ctx):
+    """Alias of the session-scoped full-template context (conftest)."""
+    return flagship_ctx
 
 
 def _inputs(cfg, B, seed=0):
@@ -45,6 +43,10 @@ CONFIGS = {
 }
 
 
+# full-template forward compiles are slow-tier on this 1-CPU box: wiring
+# correctness is covered fast by tests/test_reference_parity (icosphere,
+# eager), and the driver compile-checks the flagship entry() every round
+@pytest.mark.slow
 @pytest.mark.parametrize("name", list(CONFIGS))
 def test_forward_shapes(ctx, name):
     cfg = CONFIGS[name]
@@ -69,6 +71,7 @@ def test_forward_shapes(ctx, name):
     assert np.all(np.isfinite(np.asarray(x_hat)))
 
 
+@pytest.mark.slow
 def test_decode_deterministic(ctx):
     cfg = CONFIGS["flagship_affine"]
     model = CAPE(cfg)
@@ -89,7 +92,7 @@ def test_cond_hidden_width_heuristic():
     assert _cond_hidden_width(8, 8) == 8        # y//2 <= nz < 2y
     assert _cond_hidden_width(4, 32) == 16      # nz >= 2y
 
-def test_reparam_statistics(ctx):
+def test_reparam_statistics():
     cfg = CONFIGS["small_plain"]
     model = CAPE(cfg)
     mean = jnp.ones((4096, cfg.nz)) * 2.0
@@ -99,6 +102,7 @@ def test_reparam_statistics(ctx):
     assert abs(float(jnp.std(z)) - 1.0) < 0.05
 
 
+@pytest.mark.slow
 def test_param_counts_scale_with_config(ctx):
     small = CAPE(CONFIGS["small_plain"])
     big = CAPE(CONFIGS["flagship_affine"])
@@ -301,7 +305,13 @@ def test_padded_layout_forward_exact(small_mesh):
         )
 
 
-@pytest.mark.parametrize("name", list(CONFIGS))
+@pytest.mark.parametrize(
+    "name",
+    [
+        n if n == "flagship_affine" else pytest.param(n, marks=pytest.mark.slow)
+        for n in CONFIGS
+    ],
+)
 def test_summary_describe(ctx, name):
     """The architecture table's numbers match the real param pytree."""
     import re
@@ -333,6 +343,7 @@ def test_summary_describe(ctx, name):
     assert int(m.group(1).replace(",", "")) == want
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", ["small_plain", "flagship_affine"])
 @pytest.mark.parametrize("padded", [False, True])
 def test_fused_decoder_matches_unfused(name, padded):

@@ -607,6 +607,7 @@ def test_masked_norm_stats_nan_safe():
     np.testing.assert_allclose(b[:, :V], want_b, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_lap_up_composite_matches_sequential(small_mesh):
     """ctx.lap_up[i] (precomposed L~@U) == lap[i] applied after up[i], in
     value and VJP, natural and padded; identity-upsample levels reuse the
@@ -656,6 +657,7 @@ def test_lap_up_composite_matches_sequential(small_mesh):
         assert fused_real >= 3
 
 
+@pytest.mark.slow
 def test_lap_up_not_built_by_default(small_mesh):
     """The composed L~@U operators cost ~40% more block data than U per
     level; the default (fuse_decoder=False) context must not build or hold

@@ -20,20 +20,15 @@ from cape_tpu.ops.sparse import build_graph_context
 
 
 @pytest.fixture(scope="module")
-def srv_parts():
+def srv_parts(flagship_ctx):
     cfg = CAPEConfig(
         name="server_test", nf=8, nz=18, nz_cond=24, nz_cond2=8,
         use_res_block=False, use_res_block_dec=True, affine=True,
         reduce_dim=8, batch_size=4,
     )
-    verts, _ = assets.template_mesh()
-    ctx = build_graph_context(
-        assets.load_pyramid("for_demo"), assets.load_pyramid("ds2"),
-        assets.smpl_edges(), verts,
-    )
     model = CAPE(cfg)
-    params = model.init_params(jax.random.PRNGKey(0), ctx)
-    return model, ctx, params, cfg
+    params = model.init_params(jax.random.PRNGKey(0), flagship_ctx)
+    return model, flagship_ctx, params, cfg
 
 
 @pytest.fixture(scope="module")
@@ -67,6 +62,7 @@ def _req(base, path, body=None, method=None):
         return e.code, json.loads(e.read())
 
 
+@pytest.mark.slow
 def test_health_reports_model_dims(srv):
     base, _, cfg = srv
     status, info = _req(base, "/health")
@@ -76,6 +72,7 @@ def test_health_reports_model_dims(srv):
     assert info["gmm_prior"] is True
 
 
+@pytest.mark.slow
 def test_sample_shapes_and_seed_determinism(srv):
     base, _, cfg = srv
     body = {
@@ -94,6 +91,7 @@ def test_sample_shapes_and_seed_determinism(srv):
     assert s3 == 200 and not np.allclose(disp, np.asarray(r3["disp"]))
 
 
+@pytest.mark.slow
 def test_sample_gmm_prior(srv):
     base, _, cfg = srv
     body = {
@@ -107,6 +105,7 @@ def test_sample_gmm_prior(srv):
     assert np.asarray(r["disp"]).shape == (2, 6890, 3)
 
 
+@pytest.mark.slow
 def test_reconstruct_matches_direct_engine(srv):
     base, engine, cfg = srv
     rng = np.random.default_rng(0)
@@ -122,6 +121,7 @@ def test_reconstruct_matches_direct_engine(srv):
     np.testing.assert_allclose(np.asarray(r["disp"]), direct, rtol=0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_decode_pre_embedded_matches_z_path(srv):
     base, engine, cfg = srv
     rng = np.random.default_rng(1)
@@ -144,6 +144,7 @@ def test_decode_pre_embedded_matches_z_path(srv):
     )
 
 
+@pytest.mark.slow
 def test_error_paths(srv):
     base, _, cfg = srv
     status, r = _req(base, "/nope", {"x": 1})
@@ -173,6 +174,7 @@ def test_error_paths(srv):
         assert e.code == 400 and "bad JSON" in json.loads(e.read())["error"]
 
 
+@pytest.mark.slow
 def test_stats_counts_requests(srv):
     base, _, cfg = srv
     # generate our own traffic (self-sufficient under pytest -k): one ok
@@ -197,6 +199,7 @@ def test_stats_counts_requests(srv):
     assert stats["(unrouted)"]["requests"] >= 2
 
 
+@pytest.mark.slow
 def test_concurrent_requests_coalesce_and_stay_correct(srv):
     """The HTTP layer is threaded; device work micro-batches across
     requests. N concurrent /sample requests must all succeed with
@@ -230,6 +233,7 @@ def test_concurrent_requests_coalesce_and_stay_correct(srv):
     assert mb["decode_calls"] < mb["decode_requests"]
 
 
+@pytest.mark.slow
 def test_concurrent_encode_and_reconstruct_coalesce(srv):
     """/encode and deterministic /reconstruct share the encode batcher;
     concurrent mixed traffic coalesces and every response still matches
@@ -272,6 +276,7 @@ def test_concurrent_encode_and_reconstruct_coalesce(srv):
     assert new_req == 8 and new_calls < new_req
 
 
+@pytest.mark.slow
 def test_mesh_parallel_serving_matches_single_device(srv_parts, srv):
     """One server process over a 2-device mesh (engine dp=) returns the
     same bytes as the single-device server for the same seed."""
@@ -304,6 +309,7 @@ def test_mesh_parallel_serving_matches_single_device(srv_parts, srv):
         thread.join(timeout=5)
 
 
+@pytest.mark.slow
 def test_python_client_round_trip(srv):
     """CapeClient mirrors the engine surface over the wire."""
     from cape_tpu.apps.client import CapeClient, CapeServerError
@@ -337,6 +343,7 @@ def test_python_client_round_trip(srv):
     assert "POST /sample" in c.stats()
 
 
+@pytest.mark.slow
 def test_npz_and_json_wires_agree(srv):
     """The binary npz wire (production: raw float32 bytes, no JSON
     encode of ~82k floats/mesh) returns byte-identical results to JSON,
@@ -368,6 +375,7 @@ def test_npz_and_json_wires_agree(srv):
     assert ei.value.code == 400
 
 
+@pytest.mark.slow
 def test_metrics_prometheus_exposition(srv):
     """GET /metrics mirrors /stats in Prometheus text format: counters,
     latency quantiles, micro-batch coalescing, and the model-info gauge."""
@@ -395,6 +403,7 @@ def test_metrics_prometheus_exposition(srv):
         assert name_labels.startswith("cape_") and name_labels.endswith("}")
 
 
+@pytest.mark.slow
 def test_sample_bad_n_is_client_error(srv):
     base, _, cfg = srv
     body = {
@@ -419,6 +428,7 @@ def test_sample_bad_n_is_client_error(srv):
     assert status == 400
 
 
+@pytest.mark.slow
 def test_handle_fuzz_never_500(srv):
     """Seeded fuzz over the request surface: any garbage body must come
     back as a clean 4xx (or 200 when it happens to be valid) — never a
@@ -513,6 +523,7 @@ def test_micro_batcher_unit():
             f.result(timeout=30)
 
 
+@pytest.mark.slow
 def test_drain_waits_for_inflight_requests(srv):
     """drain() blocks while a tracked request is open (through response
     serialization) and returns promptly once it closes — the guarantee
@@ -541,6 +552,7 @@ def test_drain_waits_for_inflight_requests(srv):
     t.join(timeout=5)
 
 
+@pytest.mark.slow
 def test_npz_missing_field_is_clean_400(srv):
     """Omitted optional arrays must reach the server as ABSENT fields, not
     np.asarray(None) object arrays pickled into the npz body — the error
@@ -554,6 +566,7 @@ def test_npz_missing_field_is_clean_400(srv):
         c.decode(z_total=zt)
 
 
+@pytest.mark.slow
 def test_negative_content_length_rejected(srv):
     """Content-Length: -1 must not reach rfile.read(-1) (which would block
     until the client closes, pinning the handler thread)."""
@@ -570,6 +583,7 @@ def test_negative_content_length_rejected(srv):
     assert reply.startswith("HTTP/1.1 413")
 
 
+@pytest.mark.slow
 def test_decode_pre_embedded_row_mismatch_rejected(srv):
     base, engine, cfg = srv
     zt = np.zeros((4, cfg.nz + cfg.nz_cond + cfg.nz_cond2), np.float32)
