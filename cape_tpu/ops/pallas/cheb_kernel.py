@@ -322,6 +322,328 @@ def banded_apply_bm(x, blocks, pad_left, pad_right, n_rows):
     return out[:, :n_rows, :]
 
 
+# ---------------------------------------------------------------- kernel v5
+# Small-batch whole-conv kernel (ROADMAP lever #1): batch-major at the
+# boundary, G=4 samples merged into the lane dimension inside
+# ([B/G, V, G*C]), so (a) every window DMA moves 512-byte contiguous rows
+# (v4's loss at C=64 was 128-byte rows starving the DMA engines) and
+# (b) BOTH weight projections run in-kernel against a block-diagonal
+# [G*C, G*F] weight — one [128, G*C] @ [G*C, G*F] MXU matmul per sample
+# group that cannot mix samples — so the A~x intermediate never exists in
+# HBM. FLOP overhead of the block-diagonal form is G x on the projections;
+# the op is bandwidth-bound (PERF.md roofline), so that trade is free.
+
+
+def _make_kernel_v5(S: int, BG: int, kc: int):
+    def kernel(*refs):
+        xs, blk_ref, w0_ref, w1_ref, out_ref = (
+            refs[:S], refs[S], refs[S + 1], refs[S + 2], refs[S + 3]
+        )
+        for b in range(BG):
+            lx = None
+            for k in range(S):
+                c = jnp.dot(
+                    blk_ref[k, 0], xs[k][b], preferred_element_type=jnp.float32
+                )
+                lx = c if lx is None else lx + c
+            out_ref[b] = (
+                jnp.dot(
+                    xs[kc][b], w0_ref[...], preferred_element_type=jnp.float32
+                )
+                + jnp.dot(
+                    lx.astype(xs[0].dtype), w1_ref[...],
+                    preferred_element_type=jnp.float32,
+                )
+            ).astype(out_ref.dtype)
+
+    return kernel
+
+
+def _pallas_cheb2_v5_impl(x, blocks, pad_left, pad_right, n_rows, w0, w1, group):
+    """x: [B, V, C] with B % group == 0; blocks [S, T, 128, 128];
+    w0/w1: [C, F]. Returns [B, n_rows, F]."""
+    B, V, C = x.shape
+    S, T, rb, cb = blocks.shape
+    G = group
+    F = w0.shape[1]
+    kc = pad_left // cb
+
+    # merge G samples into lanes: [B/G, V, G*C], sample-major lane order so
+    # the block-diagonal weight keeps samples independent
+    xm = x.reshape(B // G, G, V, C).transpose(0, 2, 1, 3).reshape(B // G, V, G * C)
+    xm = jnp.pad(xm, ((0, 0), (pad_left, pad_right), (0, 0)))
+    eye = jnp.eye(G, dtype=x.dtype)
+    w0g = jnp.kron(eye, w0.astype(x.dtype))                    # [G*C, G*F]
+    w1g = jnp.kron(eye, w1.astype(x.dtype))
+
+    out = pl.pallas_call(
+        _make_kernel_v5(S, B // G, kc),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((B // G, cb, G * C), (lambda t, k=k: (0, t + k, 0)))
+            for k in range(S)
+        ]
+        + [
+            pl.BlockSpec((S, 1, rb, cb), lambda t: (0, t, 0, 0)),
+            pl.BlockSpec((G * C, G * F), lambda t: (0, 0)),
+            pl.BlockSpec((G * C, G * F), lambda t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((B // G, rb, G * F), lambda t: (0, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((B // G, T * rb, G * F), x.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(*([xm] * S + [blocks.astype(x.dtype), w0g, w1g]))
+
+    out = out[:, :n_rows, :]
+    return (
+        out.reshape(B // G, n_rows, G, F).transpose(0, 2, 1, 3).reshape(B, n_rows, F)
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pallas_cheb2_v5(meta, x, blocks, w0, w1):
+    pad_left, pad_right, n_rows, group = meta
+    return _pallas_cheb2_v5_impl(
+        x, blocks, pad_left, pad_right, n_rows, w0, w1, group
+    )
+
+
+def _fwd_v5(meta, x, blocks, w0, w1):
+    return _pallas_cheb2_v5(meta, x, blocks, w0, w1), (x, blocks, w0, w1)
+
+
+def _bwd_v5(meta, res, g):
+    return _bwd(meta[:3], res, g)
+
+
+_pallas_cheb2_v5.defvjp(_fwd_v5, _bwd_v5)
+
+
+def cheb2_banded_pallas_v5(x, band_op, weight, group: int = 4):
+    """Small-batch fused K=2 Chebyshev conv (kernel v5). x: [B, V, C],
+    weight: [2, C, F], B % group == 0; symmetric square BandedOp."""
+    B = x.shape[0]
+    G = group
+    while B % G:
+        G //= 2
+    if band_op.padded:
+        S, T, rb, cb = band_op.blocks.shape
+        P = T * rb
+        assert x.shape[1] == P, (x.shape, P)
+        halo_right = max((T + S - 1) * cb - band_op.pad_left - P, 0)
+        meta = (band_op.pad_left, halo_right, P, G)
+    else:
+        meta = (band_op.pad_left, band_op.pad_right, band_op.n_rows, G)
+    w = weight.astype(x.dtype)
+    return _pallas_cheb2_v5(meta, x, band_op.blocks.astype(x.dtype), w[0], w[1])
+
+
+# ---------------------------------------------------------------- kernel v6
+# Rolling-window whole-conv kernel: the TPU grid is sequential, so a
+# circular VMEM buffer of the last S input tiles turns the S-fold window
+# re-read of v4/v5 into exactly ONE DMA of each padded x tile. Grid
+# (T + S - 1,): step i DMAs padded tile i into slot i % S; once the buffer
+# is warm (i >= S-1) it emits output tile t = i-(S-1) from the S resident
+# tiles plus both in-kernel W projections — x is read once, y written
+# once, A~x never exists in HBM.
+
+
+def _make_kernel_v6(S: int, B: int, kc: int):
+    def kernel(xin_ref, blk_ref, w0_ref, w1_ref, out_ref, xbuf):
+        i = pl.program_id(0)
+        slot = jax.lax.rem(i, S)
+        xbuf[slot] = xin_ref[...]
+
+        @pl.when(i >= S - 1)
+        def _():
+            # output tile t = i-(S-1); window k lives in slot (i+1+k) % S
+            for b in range(B):
+                lx = None
+                for k in range(S):
+                    sk = jax.lax.rem(i + 1 + k, S)
+                    c = jnp.dot(
+                        blk_ref[k, 0], xbuf[sk, b],
+                        preferred_element_type=jnp.float32,
+                    )
+                    lx = c if lx is None else lx + c
+                sc = jax.lax.rem(i + 1 + kc, S)
+                out_ref[b] = (
+                    jnp.dot(
+                        xbuf[sc, b], w0_ref[...],
+                        preferred_element_type=jnp.float32,
+                    )
+                    + jnp.dot(
+                        lx.astype(xin_ref.dtype), w1_ref[...],
+                        preferred_element_type=jnp.float32,
+                    )
+                ).astype(out_ref.dtype)
+
+    return kernel
+
+
+def _pallas_cheb2_v6_impl(x, blocks, pad_left, pad_right, n_rows, w0, w1):
+    """x: [B, V, C]; blocks [S, T, 128, 128]; w0/w1 [C, F] -> [B, n_rows, F]."""
+    B, V, C = x.shape
+    S, T, rb, cb = blocks.shape
+    F = w0.shape[1]
+    kc = pad_left // cb
+
+    xp = jnp.pad(x, ((0, 0), (pad_left, pad_right), (0, 0)))
+    assert xp.shape[1] == (T + S - 1) * cb, (xp.shape, T, S, cb)
+    t_of = lambda i: jnp.maximum(i - (S - 1), 0)
+    out = pl.pallas_call(
+        _make_kernel_v6(S, B, kc),
+        grid=(T + S - 1,),
+        in_specs=[
+            pl.BlockSpec((B, cb, C), lambda i: (0, i, 0)),
+            pl.BlockSpec((S, 1, rb, cb), lambda i: (0, t_of(i), 0, 0)),
+            pl.BlockSpec((C, F), lambda i: (0, 0)),
+            pl.BlockSpec((C, F), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((B, rb, F), lambda i: (0, t_of(i), 0)),
+        out_shape=jax.ShapeDtypeStruct((B, T * rb, F), x.dtype),
+        scratch_shapes=[pltpu.VMEM((S, B, cb, C), x.dtype)],
+        interpret=jax.default_backend() != "tpu",
+    )(xp, blocks.astype(x.dtype), w0.astype(x.dtype), w1.astype(x.dtype))
+    return out[:, :n_rows, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pallas_cheb2_v6(meta, x, blocks, w0, w1):
+    pad_left, pad_right, n_rows = meta
+    return _pallas_cheb2_v6_impl(x, blocks, pad_left, pad_right, n_rows, w0, w1)
+
+
+def _fwd_v6(meta, x, blocks, w0, w1):
+    return _pallas_cheb2_v6(meta, x, blocks, w0, w1), (x, blocks, w0, w1)
+
+
+_pallas_cheb2_v6.defvjp(_fwd_v6, _bwd)
+
+
+# ---------------------------------------------------------------- kernel v7
+# v6 with R row tiles per grid step ("supertiles"): the sequential grid
+# shrinks from T+S-1 steps to ceil(T/R)+1, amortizing the fixed per-step
+# cost (DMA issue + semaphores + revisits) that v6's loss suggested is the
+# real floor at these shapes. Requires R >= S-1 so one previous supertile
+# suffices (2-slot rolling buffer).
+
+
+def _make_kernel_v7(S: int, B: int, R: int, NS: int, kc: int, cb: int):
+    W = NS - 1  # warmup steps
+
+    def kernel(xin_ref, blk_ref, w0_ref, w1_ref, out_ref, xbuf):
+        i = pl.program_id(0)
+        xbuf[jax.lax.rem(i, NS)] = xin_ref[...]
+
+        @pl.when(i >= W)
+        def _():
+            t = i - W                       # output supertile
+            for b in range(B):
+                for r in range(R):
+                    lx = None
+                    xc = None
+                    for k in range(S):
+                        g_off, m = divmod(r + k, R)   # static
+                        slot = jax.lax.rem(t + g_off, NS)
+                        xtile = xbuf[slot, b, m * cb:(m + 1) * cb, :]
+                        if k == kc:
+                            xc = xtile
+                        c = jnp.dot(
+                            blk_ref[0, k, r], xtile,
+                            preferred_element_type=jnp.float32,
+                        )
+                        lx = c if lx is None else lx + c
+                    out_ref[b, r * cb:(r + 1) * cb, :] = (
+                        jnp.dot(
+                            xc, w0_ref[...], preferred_element_type=jnp.float32
+                        )
+                        + jnp.dot(
+                            lx.astype(xin_ref.dtype), w1_ref[...],
+                            preferred_element_type=jnp.float32,
+                        )
+                    ).astype(out_ref.dtype)
+
+    return kernel
+
+
+def _pallas_cheb2_v7_impl(x, blocks, pad_left, pad_right, n_rows, w0, w1, R=2):
+    B, V, C = x.shape
+    S, T, rb, cb = blocks.shape
+    F = w0.shape[1]
+    kc = pad_left // cb
+    NS = -(-(R - 1 + S) // R)             # supertiles spanned by one window
+    WU = NS - 1                           # warmup steps
+
+    TS = -(-T // R)                       # output supertiles
+    xp = jnp.pad(x, ((0, 0), (pad_left, pad_right), (0, 0)))
+    # pad the window to (TS+WU) full supertiles and blocks to TS*R tiles
+    want_rows = (TS + WU) * R * cb
+    if xp.shape[1] < want_rows:
+        xp = jnp.pad(xp, ((0, 0), (0, want_rows - xp.shape[1]), (0, 0)))
+    if T < TS * R:
+        blocks = jnp.pad(blocks, ((0, 0), (0, TS * R - T), (0, 0), (0, 0)))
+    blk_r = blocks.reshape(S, TS, R, rb, cb).transpose(1, 0, 2, 3, 4)  # [TS,S,R,rb,cb]
+
+    t_of = lambda i: jnp.maximum(i - WU, 0)
+    out = pl.pallas_call(
+        _make_kernel_v7(S, B, R, NS, kc, cb),
+        grid=(TS + WU,),
+        in_specs=[
+            pl.BlockSpec((B, R * cb, C), lambda i: (0, i, 0)),
+            pl.BlockSpec((1, S, R, rb, cb), lambda i: (t_of(i), 0, 0, 0, 0)),
+            pl.BlockSpec((C, F), lambda i: (0, 0)),
+            pl.BlockSpec((C, F), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((B, R * rb, F), lambda i: (0, t_of(i), 0)),
+        out_shape=jax.ShapeDtypeStruct((B, TS * R * rb, F), x.dtype),
+        scratch_shapes=[pltpu.VMEM((NS, B, R * cb, C), x.dtype)],
+        interpret=jax.default_backend() != "tpu",
+    )(xp, blk_r.astype(x.dtype), w0.astype(x.dtype), w1.astype(x.dtype))
+    return out[:, :n_rows, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pallas_cheb2_v7(meta, x, blocks, w0, w1):
+    pad_left, pad_right, n_rows = meta
+    return _pallas_cheb2_v7_impl(x, blocks, pad_left, pad_right, n_rows, w0, w1)
+
+
+def _fwd_v7(meta, x, blocks, w0, w1):
+    return _pallas_cheb2_v7(meta, x, blocks, w0, w1), (x, blocks, w0, w1)
+
+
+_pallas_cheb2_v7.defvjp(_fwd_v7, _bwd)
+
+
+def cheb2_banded_pallas_v7(x, band_op, weight):
+    """Supertile rolling-buffer fused K=2 conv (kernel v7)."""
+    if band_op.padded:
+        S, T, rb, cb = band_op.blocks.shape
+        P = T * rb
+        assert x.shape[1] == P, (x.shape, P)
+        halo_right = max((T + S - 1) * cb - band_op.pad_left - P, 0)
+        meta = (band_op.pad_left, halo_right, P)
+    else:
+        meta = (band_op.pad_left, band_op.pad_right, band_op.n_rows)
+    w = weight.astype(x.dtype)
+    return _pallas_cheb2_v7(meta, x, band_op.blocks.astype(x.dtype), w[0], w[1])
+
+
+def cheb2_banded_pallas_v6(x, band_op, weight):
+    """Rolling-buffer fused K=2 Chebyshev conv (kernel v6). x: [B, V, C],
+    weight: [2, C, F]; symmetric square BandedOp, natural or padded."""
+    if band_op.padded:
+        S, T, rb, cb = band_op.blocks.shape
+        P = T * rb
+        assert x.shape[1] == P, (x.shape, P)
+        halo_right = max((T + S - 1) * cb - band_op.pad_left - P, 0)
+        meta = (band_op.pad_left, halo_right, P)
+    else:
+        meta = (band_op.pad_left, band_op.pad_right, band_op.n_rows)
+    w = weight.astype(x.dtype)
+    return _pallas_cheb2_v6(meta, x, band_op.blocks.astype(x.dtype), w[0], w[1])
+
+
 def cheb2_banded_pallas_v3(x, band_op, weight):
     """Large-batch fused K=2 Chebyshev conv: vertex-major Pallas band
     applies (fwd and bwd) behind a batch-major [B, V, C] interface.

@@ -92,15 +92,20 @@ def cmd_conv(args):
     import numpy as np
 
     from cape_tpu.ops.cheb import cheb_conv
-    from cape_tpu.ops.pallas.cheb_kernel import cheb2_banded_pallas_v2
+    from cape_tpu.ops.pallas.cheb_kernel import (
+        cheb2_banded_pallas_v2,
+        cheb2_banded_pallas_v5,
+    )
 
     B, C, F = args.batch, args.channels, args.channels
+    level = getattr(args, "level", 0)
+    padded = bool(getattr(args, "padded", 0))
     results = {}
     for dtype_name in ("float32", "bfloat16"):
         dt = jnp.dtype(dtype_name)
-        ctx = _flagship_ctx(dtype_name)
-        lap = ctx.lap[0]
-        V = lap.n_rows
+        ctx = _flagship_ctx(dtype_name, padded=padded)
+        lap = ctx.lap[level]
+        V = lap.p_rows if padded else lap.n_rows
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.standard_normal((B, V, C)), dt)
         w = jnp.asarray(rng.standard_normal((2, C, F)) * 0.1, dt)
@@ -111,34 +116,56 @@ def cmd_conv(args):
         def loss_pal(x, lap, w):
             return jnp.sum(cheb2_banded_pallas_v2(x, lap, w) ** 2)
 
+        def loss_v5(x, lap, w):
+            return jnp.sum(cheb2_banded_pallas_v5(x, lap, w) ** 2)
+
         g_xla = jax.grad(loss_xla)
         g_pal = jax.grad(loss_pal)
+        g_v5 = jax.grad(loss_v5)
         # chained inner iterations (C == F so output feeds input); the
         # fwd+bwd chain is a tiny gradient-descent loop on x
         r = {
             "xla_fwd_ms": _timed_chained(
                 lambda x, lap, w: cheb_conv(x, lap, w), x, (lap, w)
             ),
-            "pallas_fwd_ms": _timed_chained(
-                lambda x, lap, w: cheb2_banded_pallas_v2(x, lap, w), x, (lap, w)
+            "pallas5_fwd_ms": _timed_chained(
+                lambda x, lap, w: cheb2_banded_pallas_v5(x, lap, w), x, (lap, w)
             ),
             "xla_fwdbwd_ms": _timed_chained(
                 lambda x, lap, w: x - 1e-6 * g_xla(x, lap, w), x, (lap, w)
             ),
-            "pallas_fwdbwd_ms": _timed_chained(
-                lambda x, lap, w: x - 1e-6 * g_pal(x, lap, w), x, (lap, w)
+            "pallas5_fwdbwd_ms": _timed_chained(
+                lambda x, lap, w: x - 1e-6 * g_v5(x, lap, w), x, (lap, w)
             ),
         }
+        if not padded:  # v2 predates the padded layout; baseline only
+            r["pallas_fwd_ms"] = _timed_chained(
+                lambda x, lap, w: cheb2_banded_pallas_v2(x, lap, w), x, (lap, w)
+            )
+            r["pallas_fwdbwd_ms"] = _timed_chained(
+                lambda x, lap, w: x - 1e-6 * g_pal(x, lap, w), x, (lap, w)
+            )
         # numeric agreement
         xla_fwd = jax.jit(lambda x, lap, w: cheb_conv(x, lap, w))
-        pal_fwd = jax.jit(lambda x, lap, w: cheb2_banded_pallas_v2(x, lap, w))
+        v5_fwd = jax.jit(lambda x, lap, w: cheb2_banded_pallas_v5(x, lap, w))
         ref = np.asarray(jax.device_get(xla_fwd(x, lap, w)), np.float32)
-        got = np.asarray(jax.device_get(pal_fwd(x, lap, w)), np.float32)
-        r["max_rel_err"] = float(
-            np.max(np.abs(ref - got)) / max(np.max(np.abs(ref)), 1e-9)
+        got = np.asarray(jax.device_get(v5_fwd(x, lap, w)), np.float32)
+        n_nat = lap.n_rows
+        r["max_rel_err_v5"] = float(
+            np.max(np.abs(ref[:, :n_nat] - got[:, :n_nat]))
+            / max(np.max(np.abs(ref[:, :n_nat])), 1e-9)
         )
         results[dtype_name] = {k: round(v, 4) for k, v in r.items()}
-        print(json.dumps({"conv": dtype_name, "B": B, "C": C, **results[dtype_name]}), flush=True)
+        print(
+            json.dumps(
+                {
+                    "conv": dtype_name, "B": B, "C": C,
+                    "level": level, "padded": padded,
+                    **results[dtype_name],
+                }
+            ),
+            flush=True,
+        )
     return results
 
 
@@ -913,6 +940,8 @@ def main(argv=None):
     pc = sub.add_parser("conv")
     pc.add_argument("--batch", type=int, default=16)
     pc.add_argument("--channels", type=int, default=64)
+    pc.add_argument("--level", type=int, default=0)
+    pc.add_argument("--padded", type=int, default=0)
     pl = sub.add_parser("layout")
     pl.add_argument("--batch", type=int, default=16)
     pl.add_argument("--channels", type=int, default=64)

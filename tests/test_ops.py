@@ -538,6 +538,63 @@ def test_use_pallas_false_forces_xla_path(small_mesh):
         ck.cheb2_banded_pallas_v3 = real_v3
 
 
+@pytest.mark.parametrize("kernel", ["v5", "v6", "v7"])
+def test_pallas_whole_conv_kernels_match_xla(small_mesh, kernel):
+    """The whole-conv fusion kernels (retired measured baselines, PERF.md
+    'the question is CLOSED': v5 merged-sample lanes + block-diagonal
+    projections, v6 rolling circular buffer, v7 supertile rolling buffer;
+    interpret mode on CPU) == the XLA path, natural AND padded layouts,
+    values and both gradients — including a batch not divisible by v5's
+    lane-merge group (group fallback) and C != F."""
+    import jax
+
+    from cape_tpu.meshops.pyramid import build_pyramid
+    from cape_tpu.meshops.topology import vertices_per_edge
+    from cape_tpu.ops.cheb import cheb_conv
+    from cape_tpu.ops.pallas import cheb_kernel as ck
+    from cape_tpu.ops.sparse import build_graph_context
+
+    fused = getattr(ck, f"cheb2_banded_pallas_{kernel}")
+    verts, faces = small_mesh
+    pyr = build_pyramid(verts, faces, [1, 2, 1, 2, 1, 2, 1, 1])
+    pyr_d = build_pyramid(verts, faces, [2, 2, 2, 2])
+    edges = vertices_per_edge(faces, len(verts))
+    ctx_n = build_graph_context(pyr, pyr_d, edges, verts)
+    ctx_p = build_graph_context(pyr, pyr_d, edges, verts, padded=True)
+    op_n, op_p = ctx_n.lap[0], ctx_p.lap[0]
+
+    rng = np.random.default_rng(11)
+    for B, C, F in ((4, 16, 12), (2, 8, 8), (6, 8, 16)):
+        x = jnp.asarray(rng.standard_normal((B, op_n.n_rows, C)), jnp.float32)
+        W = jnp.asarray(rng.standard_normal((2, C, F)) * 0.1, jnp.float32)
+
+        def loss_ref(x, W):
+            return jnp.sum(
+                jnp.sin(cheb_conv(x, op_n.replace(allow_pallas=False), W))
+            )
+
+        def loss_fused(x, W):
+            return jnp.sum(jnp.sin(fused(x, op_n, W)))
+
+        ref, (gx_ref, gw_ref) = loss_ref(x, W), jax.grad(loss_ref, (0, 1))(x, W)
+        out, (gx, gw) = loss_fused(x, W), jax.grad(loss_fused, (0, 1))(x, W)
+        np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(gx), np.asarray(gx_ref), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(gw), np.asarray(gw_ref), rtol=1e-4, atol=1e-4
+        )
+
+        # padded layout: zero-padded input tails -> matching natural rows
+        xp = jnp.pad(x, ((0, 0), (0, op_p.p_rows - op_n.n_rows), (0, 0)))
+        got_p = np.asarray(fused(xp, op_p, W))
+        want = np.asarray(cheb_conv(x, op_n.replace(allow_pallas=False), W))
+        np.testing.assert_allclose(
+            got_p[:, : op_n.n_rows], want, rtol=1e-5, atol=1e-5
+        )
+
+
 def test_pallas_v3_padded_matches_natural(small_mesh):
     """The large-batch v3 kernel under the persistent-padded layout ==
     the natural-layout conv (interpret mode on CPU), value and grads."""
