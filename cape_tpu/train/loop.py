@@ -355,6 +355,15 @@ class Trainer:
             jax.profiler.stop_trace()
         self._join_ckpt_all_ranks()     # final checkpoint fully on disk
         logger.close()
+        if self.lead:
+            # training-curve dashboard next to metrics.jsonl (the
+            # reference's TensorBoard-scalars surface; self-contained HTML)
+            try:
+                from cape_tpu.tools.plot_metrics import plot_metrics
+
+                plot_metrics(self.run_dir)
+            except Exception:
+                pass  # curves are a convenience; never fail a finished run
         t_step = (time.time() - t_start) / max(self.num_steps, 1)
         self.state = state
         return val_losses, t_step

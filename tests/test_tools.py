@@ -148,3 +148,46 @@ def test_artifact_drill_end_to_end(tmp_path):
     objs = list((root / "demo_results").rglob("*.obj"))
     assert objs
     assert (root / "drill_run.capex").is_file()  # deploy stage artifact
+
+
+def test_plot_metrics_dashboard(tmp_path):
+    """plot_metrics turns a run's metrics.jsonl into a self-contained SVG
+    dashboard: one chart per metric, EMA overlay on loss_g, val markers,
+    final-values table; tolerates a torn tail line from a live run."""
+    import json
+
+    from cape_tpu.tools.plot_metrics import plot_metrics, read_metrics
+
+    run = tmp_path / "runx"
+    run.mkdir()
+    with open(run / "metrics.jsonl", "w") as fh:
+        for s in range(0, 40, 10):
+            fh.write(json.dumps({"step": s, "t": s * 0.1, "loss_g": 3.0 - s * 0.01,
+                                 "loss_d": 0.5, "recon": 1.0 / (s + 1)}) + "\n")
+        fh.write(json.dumps({"step": 39, "t": 4.0, "loss_g": 2.5, "loss_d": 0.4,
+                             "recon": 0.02, "loss_g_ema": 2.7, "loss_d_ema": 0.45,
+                             "val_recon": 0.03, "epoch": 1, "lr_g": 8e-3,
+                             "step_ms": 11.0}) + "\n")
+        fh.write('{"step": 40, "loss_g": 2.4')      # torn tail (live run)
+
+    out = plot_metrics(str(run))
+    html_text = open(out).read()
+    assert out.endswith("metrics.html")
+    for key in ("loss_g", "loss_d", "recon", "val_recon", "lr_g", "step_ms"):
+        assert key in html_text, key
+    assert html_text.count("<polyline") >= 7        # 6 charts + EMA overlay
+    assert "stroke-dasharray" in html_text          # the EMA overlay style
+    assert "Final values" in html_text
+    # torn line ignored, full records parsed
+    assert len(read_metrics(str(run / "metrics.jsonl"))) == 5
+
+    # CLI entry
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "cape_tpu.tools.plot_metrics", str(run),
+         "-o", str(tmp_path / "alt.html")],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0 and (tmp_path / "alt.html").exists()
