@@ -28,7 +28,7 @@ from cape_tpu.core.config import CAPEConfig, parse_cli
 from cape_tpu.data.loader import BodyData
 from cape_tpu.data.synthetic import synthetic_bodydata
 from cape_tpu.meshops import assets
-from cape_tpu.meshops.pyramid import build_pyramid
+from cape_tpu.meshops.pyramid import load_or_build as load_or_build_pyramid
 from cape_tpu.models import summary
 from cape_tpu.models.cape import CAPE
 from cape_tpu.ops.sparse import build_graph_context
@@ -40,12 +40,7 @@ from cape_tpu.train.optim import build_optimizer, create_train_state
 def build_context(cfg: CAPEConfig):
     """GraphContext for the configured pyramid plan."""
     verts, faces = assets.template_mesh()
-    canonical = cfg.ds_factors == [1, 2, 1, 2, 1, 2, 1, 1]
-    if canonical:
-        pyr = assets.load_pyramid("for_demo")
-    else:
-        print("building mesh pyramid with QSlim (non-canonical plan)...", flush=True)
-        pyr = build_pyramid(verts, faces, cfg.ds_factors)
+    pyr = load_or_build_pyramid(cfg.ds_factors)
     pyr_d = assets.load_pyramid("ds2")
     loss_mask = (
         assets.loss_mask_binary() if cfg.loss_mask == "binary" else 1.0

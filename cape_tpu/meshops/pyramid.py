@@ -96,6 +96,25 @@ def build_pyramid(verts: np.ndarray, faces: np.ndarray, factors: list[int]) -> M
     )
 
 
+CANONICAL_DS_FACTORS = [1, 2, 1, 2, 1, 2, 1, 1]
+
+
+def load_or_build(ds_factors) -> MeshPyramid:
+    """The VAE pyramid for a downsample plan: the shipped canonical
+    matrices when the plan matches the reference default (main.py:31-36
+    of the reference), else a fresh QSlim build. Every consumer that
+    needs a pyramid consistent with the GraphContext's vertex orderings
+    (apps/main.build_context, tools/artifact_drill, tf_ckpt_converter)
+    must come through here so the canonical check cannot drift."""
+    from cape_tpu.meshops import assets
+
+    if list(ds_factors) == CANONICAL_DS_FACTORS:
+        return assets.load_pyramid("for_demo")
+    print("building mesh pyramid with QSlim (non-canonical plan)...", flush=True)
+    verts, faces = assets.template_mesh()
+    return build_pyramid(verts, faces, list(ds_factors))
+
+
 def pyramid_from_matrices(A: list, D: list, U: list) -> MeshPyramid:
     """Wrap pre-computed (e.g. shipped golden) sparse matrices as a pyramid."""
     return MeshPyramid(

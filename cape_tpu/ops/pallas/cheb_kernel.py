@@ -418,6 +418,22 @@ def _bwd_v5(meta, res, g):
 _pallas_cheb2_v5.defvjp(_fwd_v5, _bwd_v5)
 
 
+def _band_meta(band_op, x):
+    """(pad_left, pad_right, n_rows) for a fused-kernel apply of x
+    [B, V, C]. Persistent-padded ops hand x in at the tile-padded row
+    count P = T*rb and keep all P output rows; their stored pad_right is
+    the layout pad, so the right halo the shifted-window read needs is
+    recomputed here. One definition for the v3/v5/v6/v7 wrappers — the
+    halo formula must not drift between kernels."""
+    if band_op.padded:
+        S, T, rb, cb = band_op.blocks.shape
+        P = T * rb
+        assert x.shape[1] == P, (x.shape, P)
+        halo_right = max((T + S - 1) * cb - band_op.pad_left - P, 0)
+        return band_op.pad_left, halo_right, P
+    return band_op.pad_left, band_op.pad_right, band_op.n_rows
+
+
 def cheb2_banded_pallas_v5(x, band_op, weight, group: int = 4):
     """Small-batch fused K=2 Chebyshev conv (kernel v5). x: [B, V, C],
     weight: [2, C, F], B % group == 0; symmetric square BandedOp."""
@@ -425,14 +441,7 @@ def cheb2_banded_pallas_v5(x, band_op, weight, group: int = 4):
     G = group
     while B % G:
         G //= 2
-    if band_op.padded:
-        S, T, rb, cb = band_op.blocks.shape
-        P = T * rb
-        assert x.shape[1] == P, (x.shape, P)
-        halo_right = max((T + S - 1) * cb - band_op.pad_left - P, 0)
-        meta = (band_op.pad_left, halo_right, P, G)
-    else:
-        meta = (band_op.pad_left, band_op.pad_right, band_op.n_rows, G)
+    meta = _band_meta(band_op, x) + (G,)
     w = weight.astype(x.dtype)
     return _pallas_cheb2_v5(meta, x, band_op.blocks.astype(x.dtype), w[0], w[1])
 
@@ -617,14 +626,7 @@ _pallas_cheb2_v7.defvjp(_fwd_v7, _bwd)
 
 def cheb2_banded_pallas_v7(x, band_op, weight):
     """Supertile rolling-buffer fused K=2 conv (kernel v7)."""
-    if band_op.padded:
-        S, T, rb, cb = band_op.blocks.shape
-        P = T * rb
-        assert x.shape[1] == P, (x.shape, P)
-        halo_right = max((T + S - 1) * cb - band_op.pad_left - P, 0)
-        meta = (band_op.pad_left, halo_right, P)
-    else:
-        meta = (band_op.pad_left, band_op.pad_right, band_op.n_rows)
+    meta = _band_meta(band_op, x)
     w = weight.astype(x.dtype)
     return _pallas_cheb2_v7(meta, x, band_op.blocks.astype(x.dtype), w[0], w[1])
 
@@ -632,14 +634,7 @@ def cheb2_banded_pallas_v7(x, band_op, weight):
 def cheb2_banded_pallas_v6(x, band_op, weight):
     """Rolling-buffer fused K=2 Chebyshev conv (kernel v6). x: [B, V, C],
     weight: [2, C, F]; symmetric square BandedOp, natural or padded."""
-    if band_op.padded:
-        S, T, rb, cb = band_op.blocks.shape
-        P = T * rb
-        assert x.shape[1] == P, (x.shape, P)
-        halo_right = max((T + S - 1) * cb - band_op.pad_left - P, 0)
-        meta = (band_op.pad_left, halo_right, P)
-    else:
-        meta = (band_op.pad_left, band_op.pad_right, band_op.n_rows)
+    meta = _band_meta(band_op, x)
     w = weight.astype(x.dtype)
     return _pallas_cheb2_v6(meta, x, band_op.blocks.astype(x.dtype), w[0], w[1])
 
@@ -652,14 +647,7 @@ def cheb2_banded_pallas_v3(x, band_op, weight):
     row count P = T*128; the kernel's window is then reached with a pure
     halo pad and the output keeps all P rows (the [:n_rows] slice becomes
     the identity), matching the padded BandedOp contract."""
-    if band_op.padded:
-        S, T, rb, cb = band_op.blocks.shape
-        P = T * rb
-        assert x.shape[1] == P, (x.shape, P)
-        halo_right = max((T + S - 1) * cb - band_op.pad_left - P, 0)
-        meta = (band_op.pad_left, halo_right, P)
-    else:
-        meta = (band_op.pad_left, band_op.pad_right, band_op.n_rows)
+    meta = _band_meta(band_op, x)
     w = weight.astype(x.dtype)
     return _pallas_cheb2_v3(meta, x, band_op.blocks.astype(x.dtype), w[0], w[1])
 

@@ -162,16 +162,16 @@ def main(argv=None) -> None:
         _permute_flat_vertex_axis, read_tf_checkpoint,
     )
 
+    # perm handling must mirror tf_ckpt_converter.main: only the banded
+    # runtime stores per-vertex params in RCM/coarse order; ell-mode
+    # configs stay natural and must NOT be permuted.
     perm = ctx.vertex_perm
-    from cape_tpu.meshops.ordering import pyramid_orderings
-    from cape_tpu.meshops.pyramid import build_pyramid as _build_pyr
+    coarse_perm = None
+    if cfg.op_mode == "banded":
+        from cape_tpu.meshops.ordering import pyramid_orderings
+        from cape_tpu.meshops.pyramid import load_or_build as _load_pyr
 
-    if cfg.ds_factors == [1, 2, 1, 2, 1, 2, 1, 1]:
-        _pyr = assets.load_pyramid("for_demo")     # matches build_context
-    else:
-        _verts, _faces = assets.template_mesh()
-        _pyr = _build_pyr(_verts, _faces, cfg.ds_factors)
-    coarse_perm = pyramid_orderings(_pyr)[-1]
+        coarse_perm = pyramid_orderings(_load_pyr(cfg.ds_factors))[-1]
 
     if args.tf_ckpt is not None:
         tfvars = read_tf_checkpoint(args.tf_ckpt)
@@ -180,26 +180,27 @@ def main(argv=None) -> None:
             jax.jit(model.init_params)(jax.random.PRNGKey(7), ctx)
         )
         tfvars = synthesize_reference_vars(ref_params, cfg)
-        # real checkpoints store every vertex-indexed quantity in NATURAL
-        # order: un-permute the out bias and the flattened-coarse-vertex
-        # axes of the fc heads so the fabricated checkpoint is exactly what
-        # the published archive would hold
-        inv = np.empty_like(perm)
-        inv[perm] = np.arange(len(perm))
-        inv_c = np.empty_like(coarse_perm)
-        inv_c[coarse_perm] = np.arange(len(coarse_perm))
-        tfvars["generator/decoder/outputs/bias"] = np.asarray(
-            ref_params["generator"]["decoder"]["out"]["b"]
-        )[inv][None]
-        for head in ("fc_mean", "fc_var"):
-            k = f"generator/encoder/{head}/dense/kernel"
-            tfvars[k] = _permute_flat_vertex_axis(tfvars[k], inv_c, axis=0)
-        tfvars["generator/decoder/fc1/dense/kernel"] = _permute_flat_vertex_axis(
-            tfvars["generator/decoder/fc1/dense/kernel"], inv_c, axis=1
-        )
-        tfvars["generator/decoder/fc1/dense/bias"] = _permute_flat_vertex_axis(
-            tfvars["generator/decoder/fc1/dense/bias"], inv_c, axis=0
-        )
+        if perm is not None:
+            # real checkpoints store every vertex-indexed quantity in
+            # NATURAL order: un-permute the out bias and the flattened-
+            # coarse-vertex axes of the fc heads so the fabricated
+            # checkpoint is exactly what the published archive would hold
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(len(perm))
+            inv_c = np.empty_like(coarse_perm)
+            inv_c[coarse_perm] = np.arange(len(coarse_perm))
+            tfvars["generator/decoder/outputs/bias"] = np.asarray(
+                ref_params["generator"]["decoder"]["out"]["b"]
+            )[inv][None]
+            for head in ("fc_mean", "fc_var"):
+                k = f"generator/encoder/{head}/dense/kernel"
+                tfvars[k] = _permute_flat_vertex_axis(tfvars[k], inv_c, axis=0)
+            tfvars["generator/decoder/fc1/dense/kernel"] = _permute_flat_vertex_axis(
+                tfvars["generator/decoder/fc1/dense/kernel"], inv_c, axis=1
+            )
+            tfvars["generator/decoder/fc1/dense/bias"] = _permute_flat_vertex_axis(
+                tfvars["generator/decoder/fc1/dense/bias"], inv_c, axis=0
+            )
         # write + read back a REAL tf.train.Saver file when TF is available
         # (the exact journey of checkpoint-landing day); else stay in-memory
         try:

@@ -176,7 +176,9 @@ def plot_metrics(path: str, out: str | None = None) -> str:
         title = os.path.basename(os.path.dirname(os.path.abspath(path))) or jsonl
     records = read_metrics(jsonl)
     if not records:
-        raise SystemExit(f"no metric records in {jsonl}")
+        # ValueError (not SystemExit): callers like Trainer.fit guard with
+        # `except Exception`, which SystemExit would slip past.
+        raise ValueError(f"no metric records in {jsonl}")
     out = out or os.path.join(os.path.dirname(os.path.abspath(jsonl)), "metrics.html")
     with open(out, "w") as fh:
         fh.write(render_html(records, title))
@@ -188,7 +190,10 @@ def main(argv=None):
     p.add_argument("path", help="run dir (containing metrics.jsonl) or a metrics.jsonl")
     p.add_argument("-o", "--out", default=None, help="output HTML path")
     a = p.parse_args(argv)
-    out = plot_metrics(a.path, a.out)
+    try:
+        out = plot_metrics(a.path, a.out)
+    except ValueError as e:
+        raise SystemExit(str(e))
     print(out)
 
 

@@ -394,11 +394,12 @@ def main(argv=None):
 
     vertex_perm = coarse_perm = None
     if cfg.op_mode == "banded":
-        # the banded runtime stores per-vertex params in RCM order
-        from cape_tpu.meshops import assets as _assets
+        # the banded runtime stores per-vertex params in RCM order; the
+        # pyramid must match the one build_context used for this config
         from cape_tpu.meshops.ordering import pyramid_orderings
+        from cape_tpu.meshops.pyramid import load_or_build
 
-        perms = pyramid_orderings(_assets.load_pyramid("for_demo"))
+        perms = pyramid_orderings(load_or_build(cfg.ds_factors))
         vertex_perm, coarse_perm = perms[0], perms[-1]
     params = convert(tfvars, cfg, vertex_perm=vertex_perm, coarse_perm=coarse_perm)
 

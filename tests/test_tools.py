@@ -191,3 +191,12 @@ def test_plot_metrics_dashboard(tmp_path):
         capture_output=True, text=True,
     )
     assert r.returncode == 0 and (tmp_path / "alt.html").exists()
+
+    # zero records must raise ValueError, NOT SystemExit: Trainer.fit's
+    # dashboard hook guards with `except Exception`, and a SystemExit
+    # would slip past it and kill a finished run
+    empty = tmp_path / "empty_run"
+    empty.mkdir()
+    (empty / "metrics.jsonl").touch()
+    with pytest.raises(ValueError):
+        plot_metrics(str(empty))
