@@ -992,6 +992,22 @@ def main(argv=None):
     pn.add_argument("--rows", type=int, default=1, help="meshes per request")
     pn.add_argument("--seconds", type=float, default=20.0)
     args = p.parse_args(argv)
+    # Persistent compile cache (same as bench.py): remote compiles through
+    # the relay run 30-300+ s; A/B protocols re-invoke this CLI per arm and
+    # must not pay them twice. Measured timings are device-time only and
+    # unaffected by where the executable came from.
+    import os
+
+    import jax
+
+    try:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", "..", ".jax_cache"
+        )
+        jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     {"conv": cmd_conv, "layout": cmd_layout, "parts": cmd_parts,
      "fuse": cmd_fuse, "bmapply": cmd_bmapply, "step": cmd_step,
      "trace": cmd_trace, "serve": cmd_serve, "http": cmd_http,
