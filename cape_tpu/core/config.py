@@ -91,6 +91,11 @@ class CAPEConfig:
     steps_per_dispatch: int = 32
     log_every_steps: int = 0               # 0 = per-epoch only
     profile_steps: int = 0                 # capture a jax.profiler trace of N steps
+    # also mirror scalars (+ per-weight histograms at each checkpoint)
+    # into TensorBoard event files in the run dir — first-party writer,
+    # no TF dependency (train/tb_events.py; the reference's observability
+    # surface, lib/models.py:399-414)
+    tensorboard: bool = True
     checkpoint_keep: int = 5
     # Pallas kernel routing: False pins every conv to the XLA banded path
     # (ops.cheb routes the large-batch v3 kernel automatically past its
@@ -149,7 +154,17 @@ class CAPEConfig:
     def reduce_rate(self) -> int:
         """Channel-reduction ratio of the 1x1 convs (lib/models.py:254-259)."""
         if self.reduce_dim > 0:
-            return self.channels[-1] // self.reduce_dim
+            rate = self.channels[-1] // self.reduce_dim
+            if rate < 1:
+                # integer-division would silently yield 0 channels here and
+                # crash far away (e.g. a ZeroDivisionError in the summary)
+                raise ValueError(
+                    f"reduce_dim={self.reduce_dim} exceeds the encoder's final "
+                    f"channel count {self.channels[-1]} (nf={self.nf}, "
+                    f"num_conv_layers={self.num_conv_layers}); lower reduce_dim "
+                    "or set it to 0 to disable the 1x1 reduction"
+                )
+            return rate
         if self.reduce_dim == 0:
             return 1
         raise ValueError("reduce_dim must be >= 0")

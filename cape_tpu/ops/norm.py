@@ -32,6 +32,16 @@ def group_norm(
     vertex count when V is the padded length (None = all rows valid)."""
     B, V, C = x.shape
     G = min(num_groups, C)
+    if C % G:
+        # same constraint as the reference (lib/models.py:698 reshape):
+        # every group-normed channel count must divide by min(32, C). The
+        # CMR decoder sees fout + nz_cond + nz_cond2 channels, so tiny
+        # custom configs can violate this — fail with the actual numbers
+        # instead of a reshape error deep inside jnp
+        raise ValueError(
+            f"group_norm: {C} channels do not divide into {G} groups "
+            "(min(32, C) must divide C; adjust nf / nz_cond / nz_cond2)"
+        )
     xg = jnp.transpose(x, (0, 2, 1)).reshape(B, G, C // G, V)
     if n_valid is None or n_valid == V:
         mean = jnp.mean(xg, axis=(2, 3), keepdims=True)

@@ -177,10 +177,18 @@ class Trainer:
 
         def work():
             try:
+                host = jax.device_get(snap)
                 ckpt.save_checkpoint(
-                    self.ckpt_dir, jax.device_get(snap), step,
-                    keep=self.cfg.checkpoint_keep,
+                    self.ckpt_dir, host, step, keep=self.cfg.checkpoint_keep,
                 )
+                # the full state is already on host here, so per-weight
+                # TensorBoard histograms cost zero extra device traffic
+                tb = getattr(getattr(self, "_logger", None), "tb", None)
+                if tb is not None:
+                    try:
+                        tb.add_param_histograms(step, host.params)
+                    except Exception:
+                        pass  # observability never fails a checkpoint
             except BaseException as e:  # surfaced at the next join
                 self._ckpt_exc = e
 
@@ -237,7 +245,10 @@ class Trainer:
         state = self.init_or_restore(rng)
         start_step = int(jax.device_get(state.step))
 
-        logger = MetricsLogger(self.run_dir, write=self.lead)
+        logger = MetricsLogger(
+            self.run_dir, write=self.lead, tensorboard=cfg.tensorboard
+        )
+        self._logger = logger
         stream_g = BatchStream(len(self.data.disp_train), cfg.batch_size, seed)
         stream_d = BatchStream(len(self.data.disp_train), cfg.batch_size, seed + 1)
         # resume determinism: replay the index streams to the checkpointed

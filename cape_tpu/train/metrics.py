@@ -27,15 +27,29 @@ class EMA:
 
 
 class MetricsLogger:
-    def __init__(self, run_dir: str, filename: str = "metrics.jsonl", write: bool = True):
+    def __init__(
+        self,
+        run_dir: str,
+        filename: str = "metrics.jsonl",
+        write: bool = True,
+        tensorboard: bool = False,
+    ):
         """write=False keeps the EMA state but touches no filesystem —
         non-lead ranks of a multi-controller run use this so only the
-        lead process creates run_dir / metrics.jsonl."""
+        lead process creates run_dir / metrics.jsonl. tensorboard=True
+        additionally mirrors every scalar into a first-party TensorBoard
+        event file in run_dir (train/tb_events.py; the reference's only
+        observability surface, lib/models.py:399-414)."""
         self._fh = None
+        self.tb = None
         if write:
             os.makedirs(run_dir, exist_ok=True)
             self.path = os.path.join(run_dir, filename)
             self._fh = open(self.path, "a")
+            if tensorboard:
+                from cape_tpu.train.tb_events import TBEventWriter
+
+                self.tb = TBEventWriter(run_dir)
         self.ema_g = EMA()
         self.ema_d = EMA()
         self.t0 = time.time()
@@ -49,6 +63,17 @@ class MetricsLogger:
         )
         self._fh.write(json.dumps(record) + "\n")
         self._fh.flush()
+        if self.tb is not None:
+            from cape_tpu.train.tb_events import tb_tag
+
+            self.tb.add_scalars(
+                step,
+                {
+                    tb_tag(k): float(v)
+                    for k, v in payload.items()
+                    if isinstance(v, (int, float)) or hasattr(v, "__float__")
+                },
+            )
         if echo:
             parts = " ".join(
                 f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
@@ -60,6 +85,8 @@ class MetricsLogger:
     def close(self):
         if self._fh is not None:
             self._fh.close()
+        if self.tb is not None:
+            self.tb.close()
 
 
 def profile_steps(log_dir: str):

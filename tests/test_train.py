@@ -114,6 +114,36 @@ def test_training_reduces_loss(fitted):
     assert ckpt.latest_checkpoint(trainer.ckpt_dir) is not None
 
 
+def test_fit_writes_tensorboard_events(fitted):
+    """The run dir gains a real TensorBoard event file whose scalars agree
+    with metrics.jsonl (reference lib/models.py:399-414, :917-922; writer
+    is first-party, train/tb_events.py)."""
+    import glob
+    import json
+
+    from cape_tpu.train.tb_events import read_events, tb_tag
+
+    trainer, _, _, _ = fitted
+    files = glob.glob(os.path.join(trainer.run_dir, "events.out.tfevents.*"))
+    assert len(files) == 1
+    events = read_events(files[0])
+    assert events[0]["file_version"] == "brain.Event:2"
+
+    with open(os.path.join(trainer.run_dir, "metrics.jsonl")) as fh:
+        records = [json.loads(line) for line in fh]
+    scalars = {(ev["step"], t): v for ev in events for t, v in ev["scalars"].items()}
+    assert scalars, "no scalar events written"
+    for rec in records:
+        for k, v in rec.items():
+            if k in ("step", "t") or not isinstance(v, float):
+                continue
+            assert scalars[(rec["step"], tb_tag(k))] == pytest.approx(v, rel=1e-6)
+    # per-weight histograms ride the async-checkpoint host fetch
+    histo_tags = {t for ev in events for t in ev["histograms"]}
+    assert any(t.startswith("params/generator") for t in histo_tags)
+    assert any(t.startswith("params/discriminator") for t in histo_tags)
+
+
 def test_resume_continues_step_counter(tiny, fitted):
     cfg, ctx, data = tiny
     t1, _, _, _ = fitted
