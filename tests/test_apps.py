@@ -315,12 +315,22 @@ def test_resolve_config_pose_type_intent_fix():
     assert resolve_config(CAPEConfig(pose_type="pose", cond_dim=30)).cond_dim == 30
 
 
-def test_synthetic_fallback_honors_pose_type():
+def test_synthetic_fallback_honors_pose_type(monkeypatch):
     """load_bodydata's synthetic stand-in must produce axis-angle
     conditions under pose_type='pose' (72 -> filtered 42), or the
     cond_dim=42 model would crash on its own fallback data."""
+    import cape_tpu.apps.main as main_mod
     from cape_tpu.apps.main import load_bodydata, resolve_config
+    from cape_tpu.data.synthetic import synthetic_bodydata
 
+    # shrink the stand-in (production 512x6890 costs ~20s of host RNG
+    # on this box; the assertion is about condition dims, not size)
+    monkeypatch.setattr(
+        main_mod, "synthetic_bodydata",
+        lambda **kw: synthetic_bodydata(
+            **{**kw, "n_train": 48, "n_test": 8, "num_verts": 200}
+        ),
+    )
     cfg = resolve_config(CAPEConfig(pose_type="pose", dataset="missing_ds"))
     data = load_bodydata(cfg, datadir_root="/nonexistent")
     assert data.pose_train.shape[-1] == 42

@@ -152,7 +152,9 @@ def test_flagship_architecture_facts(ctx):
     assert ctx.level_sizes_d == (6890, 3445, 1723, 862, 431)
 
     model = CAPE(cfg)
-    params = model.init_params(jax.random.PRNGKey(0), ctx)
+    # only shapes/sizes are asserted — eval_shape skips materializing the
+    # ~17M params (20s of eager trunc-normal on this 1-CPU box)
+    params = jax.eval_shape(model.init_params, jax.random.PRNGKey(0), ctx)
     enc = params["generator"]["encoder"]
     dec = params["generator"]["decoder"]
     disc = params["discriminator"]
@@ -320,7 +322,9 @@ def test_summary_describe(ctx, name):
 
     cfg = CONFIGS[name]
     model = CAPE(cfg)
-    params = jax.device_get(model.init_params(jax.random.PRNGKey(0), ctx))
+    # describe() only reads leaf shapes — eval_shape skips materializing
+    # the flagship's ~17M params (~20s eager on this 1-CPU box)
+    params = jax.eval_shape(model.init_params, jax.random.PRNGKey(0), ctx)
     text = describe(model, ctx, params)
 
     # static lines exist for every encoder/decoder/discriminator layer

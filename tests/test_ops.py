@@ -538,6 +538,8 @@ def test_use_pallas_false_forces_xla_path(small_mesh):
         ck.cheb2_banded_pallas_v3 = real_v3
 
 
+@pytest.mark.slow  # retired kernels, never routed in production; ~50s of
+# interpret-mode compile on this box — parity stays covered in the full suite
 @pytest.mark.parametrize("kernel", ["v5", "v6", "v7"])
 def test_pallas_whole_conv_kernels_match_xla(small_mesh, kernel):
     """The whole-conv fusion kernels (retired measured baselines, PERF.md

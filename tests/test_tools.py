@@ -7,9 +7,7 @@ import numpy as np
 import pytest
 
 from cape_tpu.core.config import CAPEConfig
-from cape_tpu.meshops import assets
 from cape_tpu.models.cape import CAPE
-from cape_tpu.ops.sparse import build_graph_context
 from cape_tpu.tools.tf_ckpt_converter import (
     cheb_to_ours,
     convert,
@@ -19,13 +17,10 @@ from cape_tpu.tools.tf_ckpt_converter import (
 )
 
 
-@pytest.fixture(scope="module")
-def ctx():
-    verts, _ = assets.template_mesh()
-    return build_graph_context(
-        assets.load_pyramid("for_demo"), assets.load_pyramid("ds2"),
-        assets.smpl_edges(), verts,
-    )
+@pytest.fixture()
+def ctx(flagship_ctx):
+    # same build args as the session-scoped conftest fixture — share it
+    return flagship_ctx
 
 
 # ours_to_tf_cheb / synthesize_reference_vars moved into the converter

@@ -29,11 +29,16 @@ def tiny(small_mesh):
     """Tiny end-to-end setup: icosphere pyramid + synthetic data."""
     verts, faces = small_mesh
     nv = len(verts)
+    # 4 conv layers, not the production 8: Trainer mechanics (scan
+    # dispatch, checkpoint/resume, DP equivalence, TB events) are
+    # architecture-agnostic, and the fused G+D step's CPU jit compile is
+    # the single biggest fast-tier cost (8-layer: 85s, 4-layer: 52s cold;
+    # the 4-layer val curve also falls with a wider margin)
     cfg = CAPEConfig(
-        name="tiny_test", nf=4, nz=8, nz_cond=8, nz_cond2=4,
-        use_res_block=False, use_res_block_dec=True, affine=True,
-        reduce_dim=8, batch_size=8, num_epochs=4, lambda_edge=1.0,
-        lr=2e-3, optimizer="adam", data_parallel=1,
+        name="tiny_test", num_conv_layers=4, nf=8, nz=8, nz_cond=8,
+        nz_cond2=4, use_res_block=False, use_res_block_dec=True,
+        affine=True, reduce_dim=4, batch_size=8, num_epochs=4,
+        lambda_edge=1.0, lr=2e-3, optimizer="adam", data_parallel=1,
     )
     pyr = build_pyramid(verts, faces, cfg.ds_factors)
     pyr_d = build_pyramid(verts, faces, [2, 2, 2, 2])
