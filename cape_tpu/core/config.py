@@ -184,6 +184,7 @@ _BOOL_FIELDS = {
     # them with type=bool, where bool("0") is True and a flag can never be
     # turned off from the command line
     "remat", "fold_conditions", "use_pallas", "padded_layout", "fuse_decoder",
+    "tensorboard",
 }
 
 

@@ -28,6 +28,7 @@ Python CRC is nowhere near any hot path.
 
 from __future__ import annotations
 
+import itertools
 import os
 import socket
 import struct
@@ -35,6 +36,9 @@ import threading
 import time
 
 import numpy as np
+
+# process-wide uniquifier for event filenames (see TBEventWriter.__init__)
+_FILE_COUNTER = itertools.count()
 
 # ---------------------------------------------------------------------------
 # CRC32C (Castagnoli), table-driven, as used by the TFRecord framing.
@@ -148,8 +152,14 @@ class TBEventWriter:
     def __init__(self, logdir: str):
         os.makedirs(logdir, exist_ok=True)
         host = socket.gethostname() or "localhost"
+        # hostname+pid+monotonic counter keeps paths unique even when two
+        # writers open the same logdir within one wall-clock second (quick
+        # stop/resume) — second-resolution time alone collides, and append
+        # mode would then interleave a second file_version header mid-file
         self.path = os.path.join(
-            logdir, f"events.out.tfevents.{int(time.time())}.{host}"
+            logdir,
+            f"events.out.tfevents.{int(time.time())}.{host}"
+            f".{os.getpid()}.{next(_FILE_COUNTER)}",
         )
         self._fh = open(self.path, "ab")
         self._lock = threading.Lock()

@@ -42,6 +42,25 @@ def test_tb_tag_mapping():
     assert tb_tag("loss_g_ema") == "averages/loss_g"
 
 
+def test_same_second_writers_get_distinct_files(tmp_path):
+    # Two writers opened on the same logdir within one wall-clock second
+    # (quick stop/resume, or two fits sharing a run dir) must not append
+    # to one file — that would interleave a second file_version header
+    # mid-stream and corrupt the record sequence for TensorBoard.
+    a = TBEventWriter(str(tmp_path))
+    b = TBEventWriter(str(tmp_path))
+    assert a.path != b.path
+    a.add_scalar("train/recon", 1.0, 1)
+    b.add_scalar("train/recon", 2.0, 1)
+    a.close()
+    b.close()
+    for w, v in ((a, 1.0), (b, 2.0)):
+        events = read_events(w.path)
+        assert events[0]["file_version"] == "brain.Event:2"
+        assert sum("file_version" in e for e in events) == 1
+        assert events[1]["scalars"] == {"train/recon": v}
+
+
 def test_write_and_selfdecode(tmp_path):
     w = TBEventWriter(str(tmp_path))
     w.add_scalars(3, {"train/recon": 0.25, "train/loss_g": 1.5})
