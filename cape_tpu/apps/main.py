@@ -73,13 +73,14 @@ def load_bodydata(cfg: CAPEConfig, datadir_root: str = "data/datasets") -> BodyD
 
 def restore_params(cfg: CAPEConfig, model: CAPE, ctx, workdir: str = "results"):
     ckpt_dir = os.path.join(workdir, cfg.name, "checkpoints")
-    latest = ckpt.latest_checkpoint(ckpt_dir)
-    if latest is None:
+    if ckpt.latest_checkpoint(ckpt_dir) is None:
         raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
     params = jax.jit(model.init_params)(jax.random.PRNGKey(0), ctx)
     tx, _, _ = build_optimizer(cfg, steps_per_epoch=1)
     template = jax.device_get(create_train_state(params, tx))
-    state = ckpt.restore_checkpoint(latest, template)
+    state, latest = ckpt.restore_latest(ckpt_dir, template)
+    if state is None:
+        raise FileNotFoundError(f"no readable checkpoint under {ckpt_dir}")
     print(f"restored {latest} (step {int(state.step)})", flush=True)
     return state.params
 

@@ -12,9 +12,18 @@ from __future__ import annotations
 
 import os
 import re
+import warnings
 
 import jax
 import numpy as np
+
+
+class CheckpointMismatchError(ValueError):
+    """The checkpoint file is intact but does not fit the model: a key is
+    missing or a leaf has the wrong number of elements. This is a config
+    error (restoring ckpt A into model B) and must fail loudly — it is
+    never treated as file corruption, so `restore_latest` will NOT fall
+    back past it to an older checkpoint."""
 
 
 def flatten_tree(tree) -> dict[str, np.ndarray]:
@@ -24,15 +33,32 @@ def flatten_tree(tree) -> dict[str, np.ndarray]:
 
 
 def unflatten_tree(flat: dict[str, np.ndarray], template):
-    """Restore a {keypath: ndarray} dict into the structure of `template`."""
+    """Restore a {keypath: ndarray} dict into the structure of `template`.
+
+    Leaves are cast to the template dtype and reshaped when the element
+    count matches (the TF converter writes e.g. (1,1,F) biases where the
+    pytree holds (F,)); a count mismatch means the checkpoint was written
+    by a differently-configured model and raises CheckpointMismatchError
+    naming the offending key and both shapes."""
     paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
     leaves = []
     for path, leaf in paths_leaves:
         key = jax.tree_util.keystr(path)
         if key not in flat:
-            raise KeyError(f"checkpoint missing key {key!r}")
+            raise CheckpointMismatchError(
+                f"checkpoint missing key {key!r} — it was written by a "
+                "different model/optimizer configuration "
+                f"({len(flat)} keys present)"
+            )
         ref = np.asarray(leaf)
-        leaves.append(np.asarray(flat[key]).astype(ref.dtype).reshape(ref.shape))
+        got = np.asarray(flat[key])
+        if got.size != ref.size:
+            raise CheckpointMismatchError(
+                f"checkpoint leaf {key!r} has shape {got.shape} but the "
+                f"model expects {ref.shape} — wrong config for this "
+                "checkpoint (e.g. different nz/nf/reduce_dim)"
+            )
+        leaves.append(got.astype(ref.dtype).reshape(ref.shape))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
@@ -77,6 +103,38 @@ def latest_checkpoint(ckpt_dir: str) -> str | None:
 def restore_checkpoint(path: str, template):
     with np.load(path, allow_pickle=False) as data:
         return unflatten_tree(dict(data), template)
+
+
+def restore_latest(ckpt_dir: str, template):
+    """Restore the newest readable checkpoint, falling back past corrupt
+    or truncated files (a crash can leave the newest .npz half-written on
+    filesystems without atomic rename, or torn by the filesystem itself).
+
+    Returns (state, path); (None, None) when no readable checkpoint
+    exists. Corruption (unreadable zip/npz) logs a RuntimeWarning and
+    falls back to the next-newest file; a CheckpointMismatchError (intact
+    file, wrong model config) propagates — silently skipping to an older
+    checkpoint of the same wrong run would hide a config error."""
+    if not os.path.isdir(ckpt_dir):
+        return None, None
+    existing = sorted(
+        (f for f in os.listdir(ckpt_dir) if re.fullmatch(r"ckpt_\d+\.npz", f)),
+        reverse=True,
+    )
+    for fname in existing:
+        path = os.path.join(ckpt_dir, fname)
+        try:
+            return restore_checkpoint(path, template), path
+        except CheckpointMismatchError:
+            raise
+        except Exception as exc:  # zipfile.BadZipFile, EOFError, OSError, ...
+            warnings.warn(
+                f"checkpoint {path} is unreadable ({type(exc).__name__}: "
+                f"{exc}) — falling back to the previous checkpoint",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    return None, None
 
 
 def checkpoint_step(path: str) -> int:

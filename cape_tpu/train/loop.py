@@ -218,9 +218,9 @@ class Trainer:
 
             host_state = jax.device_get(state)
             if self.lead:
-                latest = ckpt.latest_checkpoint(self.ckpt_dir)
-                if latest is not None:
-                    host_state = ckpt.restore_checkpoint(latest, host_state)
+                restored, _ = ckpt.restore_latest(self.ckpt_dir, host_state)
+                if restored is not None:
+                    host_state = restored
             state = multihost_utils.broadcast_one_to_all(host_state)
             if int(jax.device_get(state.step)) > 0:
                 print(
@@ -228,9 +228,9 @@ class Trainer:
                     "(broadcast from lead)", flush=True,
                 )
         else:
-            latest = ckpt.latest_checkpoint(self.ckpt_dir)
-            if latest is not None:
-                state = ckpt.restore_checkpoint(latest, jax.device_get(state))
+            restored, latest = ckpt.restore_latest(self.ckpt_dir, jax.device_get(state))
+            if restored is not None:
+                state = restored
                 print(f"resumed from {latest} at step {int(state.step)}", flush=True)
         # one placement seam for every mode: replication under DP,
         # tensor-parallel param shardings under MeshParallel

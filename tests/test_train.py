@@ -276,6 +276,111 @@ def test_checkpoint_keep_prunes(tmp_path):
     assert ckpt.checkpoint_step(ckpt.latest_checkpoint(str(tmp_path))) == 7
 
 
+def test_restore_latest_falls_back_past_corrupt_file(tmp_path):
+    """Crash robustness (reference restart/resume, lib/models.py:851-866):
+    a half-written newest checkpoint must not kill the resume — restore
+    falls back to the previous intact file with a logged warning."""
+    tree = {"w": np.arange(6.0), "step": np.asarray(3)}
+    ckpt.save_checkpoint(str(tmp_path), tree, step=3)
+    good = ckpt.save_checkpoint(str(tmp_path), {**tree, "step": np.asarray(4)}, step=4)
+    newest = ckpt.save_checkpoint(str(tmp_path), {**tree, "step": np.asarray(5)}, step=5)
+    # torn write: keep only the first half of the newest file's bytes
+    blob = open(newest, "rb").read()
+    with open(newest, "wb") as fh:
+        fh.write(blob[: len(blob) // 2])
+
+    with pytest.warns(RuntimeWarning, match="falling back"):
+        state, path = ckpt.restore_latest(str(tmp_path), tree)
+    assert path == good
+    assert int(state["step"]) == 4
+
+    # every file corrupt -> (None, None), caller starts fresh
+    for f in os.listdir(tmp_path):
+        with open(tmp_path / f, "wb") as fh:
+            fh.write(b"\x00" * 16)
+    with pytest.warns(RuntimeWarning):
+        state, path = ckpt.restore_latest(str(tmp_path), tree)
+    assert state is None and path is None
+
+
+def test_trainer_resume_survives_corrupt_latest_checkpoint(tiny, fitted, tmp_path):
+    """End-to-end: Trainer.init_or_restore on a run dir whose newest
+    checkpoint is torn resumes from the previous intact one (not a crash,
+    not a silent fresh start)."""
+    import shutil
+
+    cfg, ctx, data = tiny
+    t1, _, _, _ = fitted
+    workdir2 = str(tmp_path)
+    run2 = os.path.join(workdir2, cfg.name)
+    os.makedirs(run2)
+    ckpt_dir2 = os.path.join(run2, "checkpoints")
+    shutil.copytree(t1.ckpt_dir, ckpt_dir2)
+    # corrupt the newest checkpoint; the older intact ones stay
+    files = sorted(f for f in os.listdir(ckpt_dir2) if f.startswith("ckpt_"))
+    assert len(files) >= 2, "fitted run should keep multiple checkpoints"
+    with open(os.path.join(ckpt_dir2, files[-1]), "r+b") as fh:
+        fh.truncate(100)
+
+    cfg2 = cfg.replace(restart=False, num_epochs=1)
+    t2 = Trainer(cfg2, CAPE(cfg2), ctx, data, workdir=workdir2)
+    with pytest.warns(RuntimeWarning, match="falling back"):
+        state = t2.init_or_restore(jax.random.PRNGKey(0))
+    resumed = int(jax.device_get(state.step))
+    assert 0 < resumed < t1.num_steps
+    assert resumed == ckpt.checkpoint_step(os.path.join(ckpt_dir2, files[-2]))
+
+
+def test_writer_death_mid_save_leaves_tmp_only_and_sweep_cleans(tmp_path, monkeypatch):
+    """Death between np.savez and the atomic rename (the async-checkpoint
+    worker can be killed at any point) must leave ONLY a .tmp orphan —
+    never a half-written final name — and the next save sweeps it."""
+    tree = {"w": np.arange(6.0)}
+    ckpt.save_checkpoint(str(tmp_path), tree, step=1)
+
+    def die(*a, **k):
+        raise RuntimeError("killed between snapshot and rename")
+
+    monkeypatch.setattr(ckpt.os, "replace", die)
+    with pytest.raises(RuntimeError, match="killed"):
+        ckpt.save_checkpoint(str(tmp_path), tree, step=2)
+    names = sorted(os.listdir(tmp_path))
+    assert names == [".tmp_ckpt_0000000002.npz", "ckpt_0000000001.npz"]
+    # resume ignores the orphan and restores the intact checkpoint cleanly
+    state, path = ckpt.restore_latest(str(tmp_path), tree)
+    assert path.endswith("ckpt_0000000001.npz")
+    np.testing.assert_array_equal(state["w"], tree["w"])
+
+    monkeypatch.undo()
+    ckpt.save_checkpoint(str(tmp_path), tree, step=3)
+    names = sorted(os.listdir(tmp_path))
+    assert names == ["ckpt_0000000001.npz", "ckpt_0000000003.npz"]
+
+
+def test_restore_wrong_config_fails_loudly(tiny):
+    """Restoring a checkpoint written by a differently-configured model
+    must raise immediately, naming the offending key and both shapes —
+    not silently reshape/cast, and not fall back to an older file."""
+    flat = {"['w']": np.zeros((8, 4), np.float32), "['b']": np.zeros(4, np.float32)}
+    template = {"w": np.zeros((8, 4), np.float32), "b": np.zeros(4, np.float32)}
+    # happy path sanity
+    ckpt.unflatten_tree(flat, template)
+    # wrong leaf size (e.g. different nf): error names key + both shapes
+    bad = dict(flat, **{"['w']": np.zeros((8, 8), np.float32)})
+    with pytest.raises(ckpt.CheckpointMismatchError, match=r"\['w'\].*\(8, 8\).*\(8, 4\)"):
+        ckpt.unflatten_tree(bad, template)
+    # missing key (e.g. extra layer in the model): loud, names the key
+    with pytest.raises(ckpt.CheckpointMismatchError, match=r"missing key.*\['b'\]"):
+        ckpt.unflatten_tree({"['w']": flat["['w']"]}, template)
+    # restore_latest must PROPAGATE a mismatch, never "fall back" past it
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ckpt.save_checkpoint(d, {"w": np.zeros((8, 8), np.float32)}, step=1)
+        with pytest.raises(ckpt.CheckpointMismatchError):
+            ckpt.restore_latest(d, {"w": np.zeros((8, 4), np.float32)})
+
+
 def test_schedule_staircase_and_warmup():
     # staircase: constant within an epoch window, 0.99x per window
     s = cape_schedule(0.008, decay_steps=100, decay_rate=0.99, warmup_steps=0)
