@@ -34,20 +34,23 @@ def pack_sequence(
     cloth: str,
     cut_first: int = 2,
     sample_rate: int = 1,
-) -> int:
+) -> int | None:
     """Append one (subject, clothing, sequence) to the pack. Returns the
-    number of frames added (0 if the sequence directory is empty)."""
+    number of frames added, or None if the sequence directory is empty
+    (the reference distinguishes the two: an empty directory is skipped
+    entirely, while a non-empty one counts toward the per-clotype
+    sequence stats even when every frame is broken)."""
     data_dir = join(cape_ds_dir, "sequences", subj, f"{cloth}_{seq}")
     minimal_fn = join(
         cape_ds_dir, "minimal_body_shape", subj, f"{subj}_minimal.npy"
     )
     flist = sorted(glob(join(data_dir, "*.npz")))
     if not flist:
-        return 0
+        return None
     minimal_cano = np.load(minimal_fn)
     flist = flist[cut_first:-cut_first:sample_rate]
 
-    clo_onehot = (np.asarray(ALL_CLOTH_TYPES_CANONICAL) == cloth).astype(np.int64)
+    clo_onehot = (np.asarray(ALL_CLOTH_TYPES_CANONICAL) == cloth).astype(int)
     added = 0
     for fname in flist:
         try:
@@ -57,10 +60,15 @@ def pack_sequence(
         except Exception:
             collections["broken"].append(fname)
             continue
-        rot = pose_to_rotmats(pose[None])[0]
-        collections["disp"].append(vdisp.astype(np.float32))
-        collections["pose"].append(pose.astype(np.float32))
-        collections["rot"].append(rot.astype(np.float32))
+        # float64 on purpose: the reference computes rotations with
+        # cv2.Rodrigues, which always emits float64 (lib/prep_data.py:77)
+        # — packed datasets interchange byte-for-byte, and the loader
+        # casts to f32 at load time either way. disp/pose pass the raw
+        # frame dtype through unchanged, exactly like the reference.
+        rot = pose_to_rotmats(pose.astype(np.float64)[None])[0]
+        collections["disp"].append(vdisp)
+        collections["pose"].append(pose)
+        collections["rot"].append(rot)
         collections["clo"].append(clo_onehot)
         added += 1
 
@@ -84,6 +92,10 @@ def create_dataset(
     out_root: str,
 ) -> int:
     collections = {"disp": [], "pose": [], "rot": [], "clo": [], "info": [], "broken": []}
+    # per-clotype SEQUENCE counter (not frames), substring-matched against
+    # the cloth name and bumped for every non-empty sequence attempted —
+    # reference lib/prep_data.py:121,138-140; feeds the first stats line
+    seq_counter = {c: 0 for c in ALL_CLOTH_TYPES_CANONICAL}
     for subj in split_config[f"{phase}_subjs"]:
         for seq in split_config[f"{phase}_seqs"]:
             for cloth in split_config[f"{phase}_cloth"]:
@@ -98,6 +110,9 @@ def create_dataset(
                     cut_first=split_config["cut_first"],
                     sample_rate=split_config["sample_rate"],
                 )
+                if n is not None:
+                    for clotype in seq_counter:
+                        seq_counter[clotype] += int(clotype in cloth)
                 if n:
                     print(f"packed {subj} {seq} {cloth}: {n} frames", flush=True)
 
@@ -113,20 +128,25 @@ def create_dataset(
     np.save(join(out_dir, f"{phase}_rot.npy"), np.stack(collections["rot"]))
     np.save(join(out_dir, f"{phase}_clo_label.npy"), np.stack(collections["clo"]))
 
+    # stats.txt / broken_frames.txt are byte-identical to the reference's
+    # (lib/prep_data.py:150-165) — tests/test_data.py drives a straight-
+    # line transcription oracle over the same raw tree and diffs the bytes
     clo = np.stack(collections["clo"])
     counts = clo.sum(axis=0)
     mode = "w+" if phase == "train" else "a+"
     with open(join(out_root, dataset_name, "stats.txt"), mode) as f:
         f.write(f"-----------{phase.upper()} SET-----------\n")
         f.writelines(collections["info"])
+        f.write(f"\nTotal sequences: {seq_counter} \n")
         f.write(
-            "Total: "
-            + ", ".join(f"{c} {t}" for c, t in zip(counts, ALL_CLOTH_TYPES_CANONICAL))
-            + "\n"
+            "Total: {} shortlong, {} shortshort, {} longshort, {} longlong\n".format(
+                *counts
+            )
         )
         f.write(f"Total: {n_total} {phase} examples\n\n")
     with open(join(out_root, dataset_name, "broken_frames.txt"), mode) as f:
         f.write(f"-----------{phase.upper()} SET-----------\n")
+        f.write("Broken frames that are not packed:\n")
         f.writelines(f"{b}\n" for b in collections["broken"])
     return n_total
 

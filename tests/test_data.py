@@ -84,6 +84,81 @@ def test_packer_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(out, "ds_test", "stats.txt"))
 
 
+def test_packer_byte_parity_vs_reference_transcription(tmp_path):
+    """The packer's outputs are BYTE-identical to the reference packer's
+    (lib/prep_data.py) on the same raw tree: .npy files for disp/pose/
+    clo_label compare equal as bytes, stats.txt and broken_frames.txt
+    compare equal as text, and rot matches in shape/dtype with values
+    equal to float64 precision (cv2.Rodrigues vs our closed form — the
+    only non-bitwise seam). Oracle: tests/packer_oracle.py."""
+    from packer_oracle import oracle_create_dataset
+
+    raw = str(tmp_path / "raw")
+    rng = np.random.default_rng(7)
+    nv = 27
+    subjects = ("00032", "00096")
+    seqs = ("move_arms", "squat")
+    cloths = ("longlong", "shortshort")
+    for subj in subjects:
+        minimal = rng.standard_normal((nv, 3))
+        os.makedirs(os.path.join(raw, "minimal_body_shape", subj), exist_ok=True)
+        np.save(
+            os.path.join(raw, "minimal_body_shape", subj, f"{subj}_minimal.npy"),
+            minimal,
+        )
+        for seq in seqs:
+            for cloth in cloths:
+                d = os.path.join(raw, "sequences", subj, f"{cloth}_{seq}")
+                os.makedirs(d, exist_ok=True)
+                for i in range(8):
+                    np.savez(
+                        os.path.join(d, f"frame_{i:04d}.npz"),
+                        pose=0.4 * rng.standard_normal(72),
+                        v_cano=minimal + 0.02 * rng.standard_normal((nv, 3)),
+                    )
+    # one torn frame inside the kept [2:-2] slice: both packers must log
+    # it to broken_frames.txt and keep going
+    with open(
+        os.path.join(raw, "sequences", "00032", "longlong_move_arms", "frame_0003.npz"),
+        "wb",
+    ) as fh:
+        fh.write(b"definitely not a zip archive")
+    # and one existing-but-EMPTY sequence dir ("stretch" is in the split
+    # but only this dir exists for it): skipped entirely — no stats info
+    # line and no per-clotype sequence-counter bump in either packer
+    os.makedirs(os.path.join(raw, "sequences", "00032", "shortshort_stretch"))
+
+    split = {
+        "train_subjs": list(subjects), "train_seqs": list(seqs) + ["stretch"],
+        "train_cloth": list(cloths),
+        "test_subjs": [subjects[1]], "test_seqs": [seqs[0]],
+        "test_cloth": list(cloths),
+        "exclude_seqs": [], "exclude_cases": [["00096", "shortshort"]],
+        "cut_first": 2, "sample_rate": 2,
+    }
+    ours, ref = str(tmp_path / "ours"), str(tmp_path / "ref")
+    for phase in ("train", "test"):  # both: exercises stats.txt append mode
+        n_ours = create_dataset(phase, split, raw, "ds_parity", ours)
+        n_ref = oracle_create_dataset(phase, split, raw, "ds_parity", ref)
+        assert n_ours == n_ref > 0
+
+    def slurp(root, rel):
+        with open(os.path.join(root, "ds_parity", rel), "rb") as fh:
+            return fh.read()
+
+    for phase in ("train", "test"):
+        for kind in ("disp", "pose", "clo_label"):
+            rel = os.path.join(phase, f"{phase}_{kind}.npy")
+            assert slurp(ours, rel) == slurp(ref, rel), f"{rel} bytes differ"
+        r_ours = np.load(os.path.join(ours, "ds_parity", phase, f"{phase}_rot.npy"))
+        r_ref = np.load(os.path.join(ref, "ds_parity", phase, f"{phase}_rot.npy"))
+        assert r_ours.dtype == r_ref.dtype == np.float64
+        assert r_ours.shape == r_ref.shape
+        np.testing.assert_allclose(r_ours, r_ref, atol=1e-12, rtol=0)
+    assert slurp(ours, "stats.txt") == slurp(ref, "stats.txt")
+    assert slurp(ours, "broken_frames.txt") == slurp(ref, "broken_frames.txt")
+
+
 def test_pretrained_gmm_loads_and_samples():
     gmm = GMM.load_pretrained()
     assert gmm.weights.shape == (10,)
