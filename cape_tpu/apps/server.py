@@ -257,8 +257,20 @@ class ModelServer:
     """Request handling around one InferenceEngine. Pure logic — transport
     lives in `serve()` so tests can call handle() directly too."""
 
-    def __init__(self, engine: InferenceEngine, gmm=None, micro_batch: bool = True):
+    def __init__(
+        self,
+        engine: InferenceEngine,
+        gmm=None,
+        micro_batch: bool = True,
+        viewer_mesh: tuple | None = None,
+    ):
         self.engine = engine
+        # (faces, mean, std, demo_poses) for GET /viewer; None = resolve
+        # from the shipped flagship assets at first request (or 404 for
+        # non-template meshes). Built lazily — most deployments never pay
+        # the ~1 MB page build unless a browser actually asks for it.
+        self._viewer_mesh = viewer_mesh
+        self._viewer_page: bytes | None = None
         # optional latent prior for /sample prior="gmm" — fetched to host
         # once: sampling an 18-dim GMM is host work (sample_np), and
         # per-request device fetches/eager ops cost ~29 ms-seconds each
@@ -300,6 +312,58 @@ class ModelServer:
             "compute_dtype": cfg.compute_dtype,
             "gmm_prior": gmm is not None,
         }
+
+    def viewer_html(self) -> bytes:
+        """The GET /viewer page: the WebGL renderer with this model's
+        template mesh embedded and controls wired to POST /sample — the
+        live replacement for the reference's windowed MeshViewers
+        (reference demos.py:225-246). Raises ServerError when no mesh
+        topology is known for this model (the transport maps it to 404)."""
+        if self._viewer_page is not None:
+            return self._viewer_page
+        import jax
+
+        from cape_tpu.meshops.viewer import live_viewer_html
+
+        cfg = self.engine.model.cfg
+        template = self.engine._to_natural_order(
+            np.asarray(jax.device_get(self.engine.ctx.template_verts), np.float32)[None]
+        )[0]
+        if self._viewer_mesh is not None:
+            faces, mean, std, demo_poses = self._viewer_mesh
+        elif self.info["num_verts"] == 6890:
+            # flagship SMPL topology: everything ships in assets/
+            from cape_tpu.meshops import assets
+            from cape_tpu.smpl.joints import filter_cloth_pose
+
+            _, faces = assets.template_mesh()
+            mean, std = assets.trainset_stats()
+            poses = assets.demo_pose_params()
+            raw = poses["rot"] if cfg.cond_dim % 9 == 0 else poses["pose"]
+            demo_poses = (
+                filter_cloth_pose(raw) if raw.shape[-1] != cfg.cond_dim else raw
+            )
+        else:
+            raise ServerError(
+                "no mesh topology known for this model — pass viewer_mesh="
+                "(faces, mean, std, demo_poses) to ModelServer/serve()"
+            )
+        if demo_poses is None or np.asarray(demo_poses).size == 0:
+            demo_poses = np.zeros((1, cfg.cond_dim), np.float32)
+        demo_poses = np.asarray(demo_poses, np.float32)
+        if demo_poses.ndim == 1:
+            demo_poses = demo_poses[None]
+        if demo_poses.shape[-1] != cfg.cond_dim:
+            raise ServerError(
+                f"viewer demo poses are {demo_poses.shape[-1]}-dim but the "
+                f"model conditions on {cfg.cond_dim}"
+            )
+        self._viewer_page = live_viewer_html(
+            template, faces, demo_poses, cfg.cond2_dim,
+            has_gmm=self.gmm is not None, mean=mean, std=std,
+            title=f"cape_tpu live viewer — {cfg.name}",
+        ).encode()
+        return self._viewer_page
 
     def warmup(self) -> float:
         """Compile every endpoint's fixed-batch executable up front so the
@@ -645,6 +709,16 @@ def _make_handler(server: ModelServer):
                     "text/plain; version=0.0.4",
                 )
                 return
+            if self.path == "/viewer":  # interactive WebGL page wired to
+                # POST /sample (the /sample calls it triggers are recorded
+                # in stats; the static page fetch itself is not)
+                try:
+                    self._reply_bytes(
+                        200, server.viewer_html(), "text/html; charset=utf-8"
+                    )
+                except ServerError as e:
+                    self._reply(404, {"error": str(e)})
+                return
             status, payload = server.handle("GET", self.path, None)
             self._reply(status, payload)
 
@@ -684,11 +758,13 @@ def _make_handler(server: ModelServer):
 
 def serve(
     engine: InferenceEngine, host: str = "127.0.0.1", port: int = 8080,
-    gmm=None, micro_batch: bool = True,
+    gmm=None, micro_batch: bool = True, viewer_mesh: tuple | None = None,
 ) -> tuple[ThreadingHTTPServer, ModelServer]:
     """Bind and return (httpd, model_server); caller runs
     httpd.serve_forever() (or spawns a thread — see tests/test_server.py)."""
-    ms = ModelServer(engine, gmm=gmm, micro_batch=micro_batch)
+    ms = ModelServer(
+        engine, gmm=gmm, micro_batch=micro_batch, viewer_mesh=viewer_mesh
+    )
     httpd = ThreadingHTTPServer((host, port), _make_handler(ms))
     return httpd, ms
 

@@ -196,9 +196,96 @@ if (meshes.length > 1) {
 resize();
 setMesh(0);
 </script>
+__LIVE__
 </body>
 </html>
 """
+
+# Injected in place of __LIVE__ by live_viewer_html (apps/server.py GET
+# /viewer): controls that POST the server's own /sample endpoint and
+# render the returned displacements on top of the embedded template mesh.
+# This is the live counterpart of the reference's interactive MeshViewers
+# window (reference demos.py:225-246) for headless TPU hosts: the browser
+# is the display, the model server is the render source.
+_LIVE_SCRIPT = """<script>
+"use strict";
+const MEAN = __MEAN__ ? b64ToF32(__MEAN__) : null;   // [NV*3] train stats
+const STD  = __STD__ ? b64ToF32(__STD__) : null;
+const POSES = __POSES__;        // rows of cond_dim floats (demo poses)
+const CLO_DIM = __CLODIM__, HAS_GMM = __HASGMM__;
+const TPL = meshes[0];          // absolute template vertices
+
+const ctl = document.createElement("div");
+ctl.id = "live";
+ctl.style.cssText = "position:fixed;top:40px;left:0;right:0;padding:6px 12px;display:flex;gap:6px;align-items:center;flex-wrap:wrap;background:rgba(22,24,29,.85)";
+function sel(opts, id) {
+  const s = document.createElement("select");
+  s.id = id;
+  s.style.cssText = "background:#2a2e37;color:#d7dae0;border:1px solid #3a3f4b;border-radius:4px;padding:2px 6px;font:inherit";
+  opts.forEach(([v, label]) => { const o = document.createElement("option"); o.value = v; o.textContent = label; s.appendChild(o); });
+  return s;
+}
+function num(id, v, lo, hi) {
+  const i = document.createElement("input");
+  i.type = "number"; i.id = id; i.value = v; i.min = lo; i.max = hi;
+  i.style.cssText = "width:64px;background:#2a2e37;color:#d7dae0;border:1px solid #3a3f4b;border-radius:4px;padding:2px 6px;font:inherit";
+  return i;
+}
+function label(t) { const s = document.createElement("span"); s.textContent = t; s.style.color = "#8a8f99"; return s; }
+const poseSel = sel(POSES.map((_, i) => [i, "pose " + i]), "pose");
+const cloSel = sel(Array.from({length: CLO_DIM}, (_, i) => [i, "clotype " + i]), "clo");
+const priors = [["normal", "N(0,1) prior"]]; if (HAS_GMM) priors.push(["gmm", "GMM prior"]);
+const priorSel = sel(priors, "prior");
+const seedIn = num("seed", 0, 0, 999999);
+const nIn = num("nsamples", 4, 1, 16);
+const go = document.createElement("button");
+go.id = "generate"; go.textContent = "generate";
+const status = document.createElement("span");
+status.id = "status"; status.style.color = "#8a8f99";
+[label("condition:"), poseSel, cloSel, label("prior:"), priorSel,
+ label("seed:"), seedIn, label("n:"), nIn, go, status].forEach(e => ctl.appendChild(e));
+document.body.appendChild(ctl);
+
+function addSampleButton(name, idx) {
+  const b = document.createElement("button");
+  b.textContent = name; b.className = "s";
+  b.onclick = () => setMesh(idx);
+  document.getElementById("bar").appendChild(b);
+}
+async function generate() {
+  go.disabled = true;
+  status.textContent = "sampling\\u2026";
+  try {
+    const pose = [POSES[+poseSel.value]];
+    const clo = [Array.from({length: CLO_DIM}, (_, i) => i === +cloSel.value ? 1 : 0)];
+    const body = {n: +nIn.value, seed: +seedIn.value, prior: priorSel.value, pose: pose, clo: clo};
+    const r = await fetch("/sample", {method: "POST", headers: {"Content-Type": "application/json"}, body: JSON.stringify(body)});
+    const j = await r.json();
+    if (j.error) { status.textContent = "error: " + j.error; return; }
+    meshes.length = 1; NAMES.length = 1;
+    document.querySelectorAll("#bar button.s").forEach((b, i) => { if (i > 0) b.remove(); });
+    j.disp.forEach((d, i) => {
+      const v = new Float32Array(NV * 3);
+      for (let k = 0; k < NV; k++) for (let c = 0; c < 3; c++) {
+        const o = 3 * k + c;
+        let disp = d[k][c];
+        if (STD) disp = disp * STD[o] + MEAN[o];
+        v[o] = TPL[o] + disp;
+      }
+      meshes.push(v);
+      NAMES.push("sample " + i);
+      addSampleButton("sample " + i, meshes.length - 1);
+    });
+    status.textContent = j.disp.length + " sampled";
+    setMesh(1);
+  } catch (e) {
+    status.textContent = "request failed: " + e;
+  } finally {
+    go.disabled = false;
+  }
+}
+go.onclick = generate;
+</script>"""
 
 
 def export_html(
@@ -236,8 +323,62 @@ def export_html(
         .replace("__NF__", str(len(faces)))
         .replace("__VERTS__", json.dumps(verts_b64))
         .replace("__FACES__", faces_b64)
+        .replace("__LIVE__", "")
     )
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
         f.write(doc)
     return path
+
+
+def live_viewer_html(
+    template_verts: np.ndarray,
+    faces: np.ndarray,
+    demo_poses: np.ndarray,
+    clo_dim: int,
+    has_gmm: bool = False,
+    mean: np.ndarray | None = None,
+    std: np.ndarray | None = None,
+    title: str = "cape_tpu live viewer",
+) -> str:
+    """The /viewer page for apps.server: the embedded-template variant of
+    the WebGL renderer plus controls that POST the serving process's own
+    /sample endpoint and display the returned displacements — the live
+    replacement for the reference's windowed MeshViewers
+    (reference demos.py:225-246) on display-less TPU hosts.
+
+    template_verts [V, 3] NATURAL vertex order; faces [F, 3];
+    demo_poses [P, cond_dim] rows offered as condition choices; mean/std
+    [V, 3] train displacement stats (None -> identity: the server then
+    shows raw model output, still a valid smoke surface)."""
+    template_verts = np.asarray(template_verts, np.float32)
+    faces = np.asarray(faces, np.uint32)
+    demo_poses = np.asarray(demo_poses, np.float32)
+    if demo_poses.ndim == 1:
+        demo_poses = demo_poses[None]
+
+    def b64(a):
+        return json.dumps(
+            base64.b64encode(np.asarray(a, "<f4").ravel().tobytes()).decode("ascii")
+        )
+
+    doc = (
+        _TEMPLATE
+        .replace("__TITLE__", html.escape(title))
+        .replace("__NAMES__", json.dumps(["template"]))
+        .replace("__NV__", str(len(template_verts)))
+        .replace("__NF__", str(len(faces)))
+        .replace("__VERTS__", json.dumps(
+            [base64.b64encode(template_verts.astype("<f4").tobytes()).decode("ascii")]
+        ))
+        .replace("__FACES__", base64.b64encode(faces.astype("<u4").tobytes()).decode("ascii"))
+    )
+    live = (
+        _LIVE_SCRIPT
+        .replace("__MEAN__", b64(mean) if mean is not None else "null")
+        .replace("__STD__", b64(std) if std is not None else "null")
+        .replace("__POSES__", json.dumps(np.round(demo_poses, 6).tolist()))
+        .replace("__CLODIM__", str(int(clo_dim)))
+        .replace("__HASGMM__", "true" if has_gmm else "false")
+    )
+    return doc.replace("__LIVE__", live)

@@ -73,6 +73,41 @@ def test_health_reports_model_dims(srv):
 
 
 @pytest.mark.slow
+def test_viewer_page_and_sample_roundtrip(srv):
+    """GET /viewer serves the live WebGL page (the interactive surface
+    replacing the reference's psbody MeshViewers window, demos.py:225-246)
+    wired to this server's /sample; the page's own request shape must
+    round-trip against the live endpoint."""
+    import re
+
+    base, _, cfg = srv
+    req = urllib.request.Request(base + "/viewer")
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("text/html")
+        page = resp.read().decode()
+    # renderer + live controls + embedded template mesh are all present
+    assert 'getContext("webgl"' in page
+    assert 'fetch("/sample"' in page
+    assert '"template"' in page
+    assert f"const CLO_DIM = {cfg.cond2_dim}" in page
+    assert "HAS_GMM = true" in page  # srv fixture loads the GMM
+    # the page's demo-pose rows are model-shaped: replay its exact request
+    poses = json.loads(re.search(r"const POSES = (\[\[.*?\]\]);", page).group(1))
+    assert len(poses[0]) == cfg.cond_dim
+    clo = [[1 if i == 0 else 0 for i in range(cfg.cond2_dim)]]
+    status, out = _req(
+        base, "/sample",
+        {"n": 2, "seed": 1, "prior": "normal", "pose": [poses[0]], "clo": clo},
+    )
+    assert status == 200
+    assert np.asarray(out["disp"]).shape == (2, 6890, 3)
+    # the built page is cached: a second fetch returns identical bytes
+    with urllib.request.urlopen(base + "/viewer", timeout=120) as resp:
+        assert resp.read().decode() == page
+
+
+@pytest.mark.slow
 def test_sample_shapes_and_seed_determinism(srv):
     base, _, cfg = srv
     body = {
