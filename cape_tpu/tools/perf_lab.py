@@ -446,6 +446,193 @@ def cmd_bmapply(args):
                           **{k: round(v, 4) for k, v in r.items()}}), flush=True)
 
 
+def cmd_chain(args):
+    """Cross-op layout A/B (round 5): N stacked Chebyshev convs
+    (+bias+leakyReLU) with RESIDENT activations in (a) the production
+    batch-major [B, V, C] layout vs (b) channels-first [B, C, V].
+
+    Motivation: the round-5 per-fusion trace attribution pins ~1.4 ms of
+    the 10.94 ms step on layout-conversion reshapes around the banded
+    einsums (windows materialized cb-minor while activations live
+    C-minor) plus ~0.67 ms of halo pad/slice fusions. The bare apply ties
+    across layouts (bmapply), but a bare apply cannot see INTER-conv
+    churn — this chain lets XLA lay out a whole conv stack per arm, so if
+    the churn is avoidable by a model-wide resident-layout migration the
+    cf arm must win here. Both arms stay padded-resident (no per-op
+    natural-length slices), identical math, grads wrt input chained
+    through the same layout.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cape_tpu.ops.cheb import cheb_conv
+
+    B, C, K, N = args.batch, args.channels, args.k, args.depth
+    for dtype_name in (
+        ("float32", "bfloat16") if args.dtype == "both" else (args.dtype,)
+    ):
+        dt = jnp.dtype(dtype_name)
+        ctx = _flagship_ctx(dtype_name, padded=True)
+        lap = ctx.lap[args.level]
+        S_, T_, rb_, cb_ = (int(s) for s in lap.blocks.shape)
+        Vp = lap.p_cols
+        pl_ = lap.pad_left
+        halo_r = max((T_ + S_ - 1) * cb_ - pl_ - Vp, 0)
+        rng = np.random.default_rng(0)
+        ws = jnp.asarray(0.3 * rng.standard_normal((N, K, C, C)), dt)
+        bs = jnp.asarray(0.1 * rng.standard_normal((N, C)), dt)
+        x_bm = jnp.asarray(rng.standard_normal((B, Vp, C)), dt)
+
+        def chain_bm(x, lap, ws, bs):
+            for i in range(N):
+                x = jax.nn.leaky_relu(cheb_conv(x, lap, ws[i]) + bs[i], 0.2)
+            return x
+
+        tpl_ = lap.t_pad_left
+        t_halo_r = max((T_ + S_ - 1) * cb_ - tpl_ - Vp, 0)
+
+        def _cf_raw(xcf, blocks, pad_l, pad_r):
+            # padded-resident channels-first banded apply: halo pad on the
+            # minor (vertex) axis, windows already cb-minor — no layout
+            # conversion between consecutive convs by construction
+            xp = jnp.pad(xcf, ((0, 0), (0, 0), (pad_l, pad_r)))
+            y = None
+            for k in range(S_):
+                view = xp[:, :, k * cb_ : k * cb_ + T_ * cb_].reshape(
+                    xcf.shape[0], xcf.shape[1], T_, cb_
+                )
+                term = jnp.einsum(
+                    "tij,bctj->bcti", blocks[k].astype(xcf.dtype), view,
+                    preferred_element_type=xcf.dtype,
+                )
+                y = term if y is None else y + term
+            return y.reshape(xcf.shape[0], xcf.shape[1], T_ * rb_)
+
+        def apply_cf(xcf, blocks):
+            return _cf_raw(xcf, blocks, pl_, halo_r)
+
+        # fair-backward variant: same hand-written transposed-apply VJP the
+        # production BandedOp uses (ops/banded.py:66-87) instead of letting
+        # autodiff differentiate through the pad/slice windows
+        @jax.custom_vjp
+        def cf_banded(xcf, blocks, t_blocks):
+            return _cf_raw(xcf, blocks, pl_, halo_r)
+
+        def _cf_fwd(xcf, blocks, t_blocks):
+            return cf_banded(xcf, blocks, t_blocks), (blocks, t_blocks)
+
+        def _cf_bwd(res, g):
+            blocks, t_blocks = res
+            dx = _cf_raw(g, t_blocks, tpl_, t_halo_r)
+            return dx, jnp.zeros_like(blocks), jnp.zeros_like(t_blocks)
+
+        cf_banded.defvjp(_cf_fwd, _cf_bwd)
+
+        def cheb_cf(xcf, lapfn, w):
+            xs = [xcf]
+            if K > 1:
+                xs.append(lapfn(xcf))
+            for _ in range(2, K):
+                xs.append(2.0 * lapfn(xs[-1]) - xs[-2])
+            acc = None
+            for k, xk in enumerate(xs):
+                term = jnp.einsum(
+                    "bcv,co->bov", xk, w[k].astype(xcf.dtype),
+                    preferred_element_type=xcf.dtype,
+                )
+                acc = term if acc is None else acc + term
+            return acc
+
+        def chain_cf(xcf, blocks, ws, bs):
+            for i in range(N):
+                xcf = jax.nn.leaky_relu(
+                    cheb_cf(xcf, lambda v: apply_cf(v, blocks), ws[i])
+                    + bs[i][None, :, None],
+                    0.2,
+                )
+            return xcf
+
+        def chain_cf_vjp(xcf, blocks, t_blocks, ws, bs):
+            for i in range(N):
+                xcf = jax.nn.leaky_relu(
+                    cheb_cf(xcf, lambda v: cf_banded(v, blocks, t_blocks), ws[i])
+                    + bs[i][None, :, None],
+                    0.2,
+                )
+            return xcf
+
+        # same math check (padded tails excluded — garbage-tolerant rows)
+        x_cf = jnp.asarray(
+            np.ascontiguousarray(
+                np.asarray(jax.device_get(x_bm)).transpose(0, 2, 1)
+            ),
+            dt,
+        )
+        nat = lap.n_rows
+        out_bm = np.asarray(
+            jax.device_get(jax.jit(chain_bm)(x_bm, lap, ws, bs)), np.float32
+        )[:, :nat]
+        out_cf = np.asarray(
+            jax.device_get(jax.jit(chain_cf)(x_cf, lap.blocks, ws, bs)),
+            np.float32,
+        ).transpose(0, 2, 1)[:, :nat]
+        scale = max(float(np.max(np.abs(out_bm))), 1e-9)
+        err = float(np.max(np.abs(out_bm - out_cf)) / scale)
+        assert err < 5e-2, err
+
+        # the custom-VJP arm computes the same forward
+        out_cfv = np.asarray(
+            jax.device_get(
+                jax.jit(chain_cf_vjp)(x_cf, lap.blocks, lap.t_blocks, ws, bs)
+            ),
+            np.float32,
+        ).transpose(0, 2, 1)[:, :nat]
+        err_v = float(np.max(np.abs(out_bm - out_cfv)) / scale)
+        assert err_v < 5e-2, err_v
+
+        def bwd_bm(x, lap, ws, bs):
+            return jax.grad(lambda xx: jnp.sum(chain_bm(xx, lap, ws, bs)))(x)
+
+        def bwd_cf(xcf, blocks, ws, bs):
+            return jax.grad(
+                lambda xx: jnp.sum(chain_cf(xx, blocks, ws, bs))
+            )(xcf)
+
+        def bwd_cf_vjp(xcf, blocks, t_blocks, ws, bs):
+            return jax.grad(
+                lambda xx: jnp.sum(chain_cf_vjp(xx, blocks, t_blocks, ws, bs))
+            )(xcf)
+
+        inner = args.inner
+        r = {
+            "bm_fwd_ms": _timed_chained(chain_bm, x_bm, (lap, ws, bs), inner=inner),
+            "cf_fwd_ms": _timed_chained(
+                chain_cf, x_cf, (lap.blocks, ws, bs), inner=inner
+            ),
+            "bm_fwdbwd_ms": _timed_chained(
+                bwd_bm, x_bm, (lap, ws, bs), inner=inner
+            ),
+            "cf_fwdbwd_ms": _timed_chained(
+                bwd_cf, x_cf, (lap.blocks, ws, bs), inner=inner
+            ),
+            "cfv_fwdbwd_ms": _timed_chained(
+                bwd_cf_vjp, x_cf, (lap.blocks, lap.t_blocks, ws, bs), inner=inner
+            ),
+            "max_rel_err": err,
+        }
+        print(
+            json.dumps(
+                {
+                    "chain": dtype_name, "B": B, "C": C, "K": K, "depth": N,
+                    "level": args.level,
+                    **{k: round(v, 4) for k, v in r.items()},
+                }
+            ),
+            flush=True,
+        )
+
+
 def cmd_parts(args):
     """Encoder / decoder / discriminator fwd vs fwd+bwd at flagship config."""
     import jax
@@ -734,6 +921,13 @@ def cmd_trace(args):
     by_src: collections.Counter = collections.Counter()
     by_cat: collections.Counter = collections.Counter()
     n_src: collections.Counter = collections.Counter()
+    # per-fusion-family attribution (round 5): group by (stripped op name,
+    # category, source) keeping a sample shape — this is the level at
+    # which the 4.6 ms non-MXU residue becomes legible (merge-reshape
+    # layout conversions, halo pad_slice fusions, async DMA waits)
+    fam: dict = {}
+    cat_bytes: collections.Counter = collections.Counter()
+    cat_flops: collections.Counter = collections.Counter()
     total = 0.0
     for e in events:
         if e.get("ph") != "X":
@@ -746,17 +940,38 @@ def cmd_trace(args):
         src = re.sub(r"^/root/repo/", "", a.get("source", "?"))
         by_src[src] += d
         n_src[src] += 1
-        by_cat[a.get("hlo_category", "?")] += d
+        cat = a.get("hlo_category", "?")
+        by_cat[cat] += d
+        cat_bytes[cat] += float(a.get("bytes_accessed", 0) or 0)
+        cat_flops[cat] += float(a.get("model_flops", 0) or 0)
+        key = (re.sub(r"[.\d]+$", "", e["name"]), cat, src)
+        rec = fam.setdefault(key, [0.0, 0, ""])
+        rec[0] += d
+        rec[1] += 1
+        if not rec[2]:
+            rec[2] = (a.get("shape_with_layout") or "")[:48]
     print(json.dumps({
         "device_ms_per_step": round(total / (1000 * n_steps), 2),
         "batch": args.batch, "dtype": args.dtype, "trace_dir": log_dir,
     }), flush=True)
-    print("# by hlo category (us/step):")
+    print("# by hlo category (us/step | achieved GB/s, TFLOP/s from "
+          "bytes_accessed/model_flops — counts re-reads, not pure HBM):")
     for k, v in by_cat.most_common(10):
-        print(f"#  {v/n_steps:9.1f}  {k}")
+        us = v / n_steps
+        gbs = (cat_bytes[k] / n_steps) / max(us * 1e-6, 1e-12) / 1e9
+        tfs = (cat_flops[k] / n_steps) / max(us * 1e-6, 1e-12) / 1e12
+        print(f"#  {us:9.1f}  {k:24s} {gbs:7.0f} GB/s {tfs:7.2f} TF/s")
     print("# by source line (us/step, count/step):")
     for k, v in by_src.most_common(args.top):
         print(f"#  {v/n_steps:9.1f} {n_src[k]//n_steps:5d}  {k}")
+    print("# by fusion family (us/step, count/step, name, category, source, shape):")
+    for (name, cat, src), (d, c, shp) in sorted(
+        fam.items(), key=lambda kv: -kv[1][0]
+    )[: args.top]:
+        print(
+            f"#  {d/n_steps:9.1f} {c//n_steps:5d}  {name:24.24s} "
+            f"{cat:18.18s} {src.split('/')[-1]:18.18s} {shp}"
+        )
 
 
 def cmd_http(args):
@@ -956,6 +1171,14 @@ def main(argv=None):
     pb.add_argument("--channels", type=int, default=64)
     pb.add_argument("--level", type=int, default=0)
     pb.add_argument("--dtype", default="bfloat16")
+    pch = sub.add_parser("chain")
+    pch.add_argument("--batch", type=int, default=16)
+    pch.add_argument("--channels", type=int, default=64)
+    pch.add_argument("--k", type=int, default=2)
+    pch.add_argument("--depth", type=int, default=4)
+    pch.add_argument("--level", type=int, default=0)
+    pch.add_argument("--dtype", default="bfloat16")
+    pch.add_argument("--inner", type=int, default=128)
     pp = sub.add_parser("parts")
     pp.add_argument("--batch", type=int, default=16)
     pp.add_argument("--dtype", default="float32")
@@ -1011,7 +1234,8 @@ def main(argv=None):
     {"conv": cmd_conv, "layout": cmd_layout, "parts": cmd_parts,
      "fuse": cmd_fuse, "bmapply": cmd_bmapply, "step": cmd_step,
      "trace": cmd_trace, "serve": cmd_serve, "http": cmd_http,
-     "artifact": cmd_artifact, "concurrency": cmd_concurrency}[args.cmd](args)
+     "artifact": cmd_artifact, "concurrency": cmd_concurrency,
+     "chain": cmd_chain}[args.cmd](args)
 
 
 if __name__ == "__main__":
