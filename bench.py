@@ -20,12 +20,18 @@ Baseline note: the reference publishes no throughput anywhere (SURVEY §6).
 vs_baseline is computed against a documented estimate of the TF1-GPU
 reference at REFERENCE_STEPS_PER_SEC below (measured category: TF1.13
 sparse graph-conv VAE-GAN, batch 16, single 2080Ti-era GPU, 2 sess.runs
-per step with feed_dict transfer of a 6890x3 batch).
+per step with feed_dict transfer of a 6890x3 batch). Next to that
+estimate the JSON carries `vs_reference_cpu_measured` — a genuinely
+MEASURED same-silicon framework ratio (the reference's TF graph vs
+cape_tpu's step, both on this host's CPU at the same shapes), read from
+the committed TF_REF_CPU.json produced by
+`python -m cape_tpu.tools.tf_reference_bench --save TF_REF_CPU.json`.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -208,6 +214,17 @@ def main(
         "chips": n_chips,
         "aggregate_steps_per_sec": round(steps_per_sec, 3),
     }
+    if not smoke:
+        # measured same-silicon ratio vs the reference's TF graph (both on
+        # host CPU, same shapes) — committed artifact, see module docstring
+        ref_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "TF_REF_CPU.json")
+        if os.path.exists(ref_json):
+            with open(ref_json) as f:
+                ref = json.load(f)
+            result["vs_reference_cpu_measured"] = ref.get(
+                "vs_reference_cpu_measured")
+            result["tf_ref_cpu_step_ms"] = ref.get("tf_ref_cpu_step_ms")
     print(json.dumps(result))
     return result
 

@@ -31,6 +31,13 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--workdir", default="results")
+    p.add_argument(
+        "--expect-final", type=float, default=None,
+        help="pinned final_val_recon to assert against (6dp); the full "
+        "60-epoch flagship schedule has produced bit-identical 0.263863 "
+        "across rounds 3-5 (docs/PERF.md Endurance) — pass it to turn "
+        "the run into a no-regression gate",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -94,6 +101,14 @@ def main(argv=None):
         "dtype": args.dtype,
     }
     assert np.isfinite(out["final_val_recon"]), out
+    if args.expect_final is not None:
+        got, want = out["final_val_recon"], round(args.expect_final, 6)
+        assert got == want, (
+            f"final_val_recon {got} != pinned {want} — training math "
+            f"changed (docs/PERF.md Endurance: rounds 3-5 were "
+            f"bit-identical); investigate before trusting this build"
+        )
+        out["matches_pinned_final"] = want
     print(json.dumps(out), flush=True)
     return out
 
