@@ -222,9 +222,11 @@ def main(
         if os.path.exists(ref_json):
             with open(ref_json) as f:
                 ref = json.load(f)
-            result["vs_reference_cpu_measured"] = ref.get(
-                "vs_reference_cpu_measured")
-            result["tf_ref_cpu_step_ms"] = ref.get("tf_ref_cpu_step_ms")
+            for key in ("vs_reference_cpu_measured",
+                        "vs_reference_cpu_measured_ell",
+                        "tf_ref_cpu_step_ms"):
+                if ref.get(key) is not None:
+                    result[key] = ref[key]
     print(json.dumps(result))
     return result
 

@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -417,7 +418,11 @@ def _time_cape_cpu(cfg, steps: int, warmup: int = 3) -> float:
     """cape_tpu's fused G+D train step on the same host CPU, same shapes.
     Single-step dispatch (no K-step scan) to mirror the reference's
     per-step feed structure — this UNDERSTATES cape_tpu (production scans
-    K=32 steps per dispatch)."""
+    K=32 steps per dispatch). Honors cfg.op_mode: 'banded' is the
+    TPU-production formulation (dense MXU-friendly bands — ~25x the
+    reference's sparse FLOPs, a deliberate trade that wins on the MXU
+    and loses on scalar silicon); 'ell' is the natural gather-based
+    operator, the config actually comparable on a CPU."""
     import jax
 
     from cape_tpu.data.loader import BatchStream
@@ -432,7 +437,8 @@ def _time_cape_cpu(cfg, steps: int, warmup: int = 3) -> float:
     ctx = build_graph_context(
         assets.load_pyramid("for_demo"), assets.load_pyramid("ds2"),
         assets.smpl_edges(), verts, dtype=np.float32,
-        padded=cfg.padded_layout,
+        mode=cfg.op_mode,
+        padded=cfg.padded_layout and cfg.op_mode == "banded",
     )
     model = CAPE(cfg)
     params = jax.jit(model.init_params)(jax.random.PRNGKey(0), ctx)
@@ -472,10 +478,19 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--skip-cape", action="store_true",
                    help="time only the TF reference graph")
+    p.add_argument("--skip-tf", action="store_true",
+                   help="time only the cape_tpu step (use with --save to "
+                   "merge a second cape arm into an existing JSON)")
+    p.add_argument("--cape-mode", choices=["banded", "ell"], default="banded",
+                   help="cape_tpu graph-op formulation to time: 'banded' is "
+                   "the TPU-production config (dense MXU bands — expected "
+                   "to LOSE on scalar silicon), 'ell' the natural gather "
+                   "operator (the apples-to-apples CPU arm)")
     p.add_argument("--save", default=None,
                    help="also write the JSON to this path (e.g. "
                    "TF_REF_CPU.json at the repo root, which bench.py "
-                   "carries into the headline JSON line)")
+                   "carries into the headline JSON line); merges into an "
+                   "existing file so arms can be run separately")
     args = p.parse_args(argv)
 
     # keep JAX off the backend until after TF timing; both run on host CPU
@@ -483,17 +498,30 @@ def main(argv=None):
 
     jax.config.update("jax_platforms", "cpu")
 
+    out = {"batch": args.batch, "steps": args.steps}
+    if args.save and os.path.exists(args.save):
+        with open(args.save) as f:
+            prior = json.load(f)
+        if (prior.get("batch"), prior.get("steps")) == (args.batch, args.steps):
+            out = prior
+
     cfg, pyr, pyr_d, verts, edges = _flagship_parts()
     cfg = cfg.replace(batch_size=args.batch)
-    ref = ReferenceGraph(cfg, pyr, pyr_d, verts, edges,
-                         batch_size=args.batch)
-    tf_ms = ref.time_steps(steps=args.steps)
-    out = {"tf_ref_cpu_step_ms": round(tf_ms, 2), "batch": args.batch,
-           "steps": args.steps}
+    if not args.skip_tf:
+        ref = ReferenceGraph(cfg, pyr, pyr_d, verts, edges,
+                             batch_size=args.batch)
+        out["tf_ref_cpu_step_ms"] = round(ref.time_steps(steps=args.steps), 2)
     if not args.skip_cape:
-        cape_ms = _time_cape_cpu(cfg, steps=args.steps)
-        out["cape_cpu_step_ms"] = round(cape_ms, 2)
-        out["vs_reference_cpu_measured"] = round(tf_ms / cape_ms, 2)
+        key = ("cape_cpu_step_ms" if args.cape_mode == "banded"
+               else f"cape_cpu_step_ms_{args.cape_mode}")
+        cape_ms = _time_cape_cpu(cfg.replace(op_mode=args.cape_mode),
+                                 steps=args.steps)
+        out[key] = round(cape_ms, 2)
+        tf_ms = out.get("tf_ref_cpu_step_ms")
+        if tf_ms is not None:
+            rkey = ("vs_reference_cpu_measured" if args.cape_mode == "banded"
+                    else f"vs_reference_cpu_measured_{args.cape_mode}")
+            out[rkey] = round(tf_ms / cape_ms, 2)
     if args.save:
         with open(args.save, "w") as f:
             json.dump(out, f, indent=1)
