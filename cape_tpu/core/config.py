@@ -118,6 +118,13 @@ class CAPEConfig:
     # memory-constrained configs (the fine-level intermediate never
     # materializes).
     fuse_decoder: bool = False
+    # Optimizer-state precision: bfloat16 halves the momentum-buffer HBM
+    # traffic (sgd accumulator / adam first moment; adam's second moment
+    # stays f32 per optax). Params and gradients stay f32 regardless.
+    # Opt-in: the default keeps the pinned endurance training math
+    # bit-identical (tools/endurance.py --expect-final). Measured A/B on
+    # v5e in docs/PERF.md (tools/opt_state_ab.py).
+    opt_state_dtype: str = "float32"       # float32 | bfloat16
 
     # ------------------------------------------------------------------
     # Derived architecture facts (reference: main.py:31-84)

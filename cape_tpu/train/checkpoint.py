@@ -27,9 +27,20 @@ class CheckpointMismatchError(ValueError):
 
 
 def flatten_tree(tree) -> dict[str, np.ndarray]:
-    """pytree -> {keypath string: ndarray}."""
+    """pytree -> {keypath string: ndarray}.
+
+    bfloat16 leaves (e.g. opt_state_dtype=bfloat16 momentum buffers) are
+    stored as float32: np.savez writes the ml_dtypes bfloat16 as a raw
+    void dtype ('|V2') that cannot be astype-restored, while bf16->f32
+    is exact and unflatten_tree casts back to the template dtype."""
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
-    return {jax.tree_util.keystr(path): np.asarray(jax.device_get(leaf)) for path, leaf in flat}
+    out = {}
+    for path, leaf in flat:
+        arr = np.asarray(jax.device_get(leaf))
+        if arr.dtype.kind == "V" or str(arr.dtype) == "bfloat16":
+            arr = arr.astype(np.float32)
+        out[jax.tree_util.keystr(path)] = arr
+    return out
 
 
 def unflatten_tree(flat: dict[str, np.ndarray], template):

@@ -49,11 +49,18 @@ def param_labels(params: dict, optim_condnet: bool = True) -> dict:
     }
 
 
-def _player_optimizer(opt_name: str, schedule, momentum: float):
+def _player_optimizer(opt_name: str, schedule, momentum: float, state_dtype=None):
+    """state_dtype=bfloat16 keeps the momentum buffer (sgd accumulator /
+    adam mu; optax keeps adam's nu f32) in bf16 — halves that buffer's
+    per-step HBM read+write. Updates are still computed and applied in
+    f32 (optax casts the accumulator into the update dtype), so only the
+    stored first-moment precision changes."""
     if opt_name == "adam":
-        base = optax.adam(learning_rate=schedule)
+        base = optax.adam(learning_rate=schedule, mu_dtype=state_dtype)
     else:
-        base = optax.sgd(learning_rate=schedule, momentum=momentum)
+        base = optax.sgd(
+            learning_rate=schedule, momentum=momentum, accumulator_dtype=state_dtype
+        )
     return optax.chain(optax.clip_by_global_norm(GRAD_CLIP_NORM), base)
 
 
@@ -65,10 +72,18 @@ def build_optimizer(cfg: CAPEConfig, steps_per_epoch: int):
     sched_d = cape_schedule(
         cfg.lr * cfg.lr_scaler, decay_steps, cfg.decay_rate, warmup_steps
     )
+    if cfg.opt_state_dtype in ("float32", ""):
+        state_dtype = None
+    elif cfg.opt_state_dtype == "bfloat16":
+        state_dtype = jnp.bfloat16
+    else:
+        raise ValueError(
+            f"opt_state_dtype must be float32|bfloat16, got {cfg.opt_state_dtype!r}"
+        )
     tx = optax.multi_transform(
         {
-            "g": _player_optimizer(cfg.optimizer, sched_g, cfg.momentum),
-            "d": _player_optimizer(cfg.optimizer, sched_d, cfg.momentum),
+            "g": _player_optimizer(cfg.optimizer, sched_g, cfg.momentum, state_dtype),
+            "d": _player_optimizer(cfg.optimizer, sched_d, cfg.momentum, state_dtype),
             "frozen": optax.set_to_zero(),
         },
         param_labels=lambda params: param_labels(params, cfg.optim_condnet),

@@ -267,6 +267,79 @@ def test_checkpoint_roundtrip(tiny, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_opt_state_dtype_bfloat16(tiny, tmp_path):
+    """opt_state_dtype=bfloat16 (PERF.md round-5 optimizer-traffic lever):
+    momentum buffers are stored bf16 while params stay f32, a short sgd
+    trajectory tracks the f32-state run, the state survives the npz
+    checkpoint (np.savez writes ml_dtypes bfloat16 as raw '|V2', so
+    flatten_tree upcasts to f32 — exact — and restore casts back), and a
+    bad value fails loudly at build time."""
+    import optax
+
+    cfg, _, _ = tiny
+    params = {
+        "generator": {"w": jnp.linspace(-1.0, 1.0, 64).reshape(8, 8)},
+        "cond_pose": {"w": jnp.full((8,), 0.3)},
+        "discriminator": {"w": jnp.linspace(0.5, -0.5, 32).reshape(4, 8)},
+    }
+    grads = jax.tree_util.tree_map(lambda p: jnp.cos(p) * 0.1, params)
+
+    runs = {}
+    for dt in ("float32", "bfloat16"):
+        c = cfg.replace(opt_state_dtype=dt, optimizer="sgd")
+        tx, _, _ = build_optimizer(c, steps_per_epoch=10)
+        state = create_train_state(params, tx)
+        for _ in range(5):
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            state = state.replace(
+                params=optax.apply_updates(state.params, updates),
+                opt_state=opt_state,
+                step=state.step + 1,
+            )
+        runs[dt] = jax.device_get(state)
+
+    bf = runs["bfloat16"]
+    state_dtypes = {
+        str(leaf.dtype)
+        for leaf in jax.tree_util.tree_leaves(bf.opt_state)
+        if hasattr(leaf, "dtype") and getattr(leaf, "ndim", 0) > 0
+    }
+    assert "bfloat16" in state_dtypes, state_dtypes
+    for leaf in jax.tree_util.tree_leaves(bf.params):
+        assert leaf.dtype == np.float32
+    for a, b in zip(
+        jax.tree_util.tree_leaves(runs["float32"].params),
+        jax.tree_util.tree_leaves(bf.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=1e-4)
+
+    # npz checkpoint roundtrip preserves the bf16 state exactly
+    path = ckpt.save_checkpoint(str(tmp_path), bf, step=5, keep=5)
+    restored = ckpt.restore_checkpoint(path, bf)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(bf), jax.tree_util.tree_leaves(restored)
+    ):
+        assert np.asarray(a).dtype == np.asarray(b).dtype
+        np.testing.assert_array_equal(
+            np.asarray(a, dtype=np.float32), np.asarray(b, dtype=np.float32)
+        )
+
+    # adam: first moment honors the dtype too (optax keeps nu f32)
+    tx_adam, _, _ = build_optimizer(
+        cfg.replace(opt_state_dtype="bfloat16", optimizer="adam"), steps_per_epoch=10
+    )
+    adam_state = tx_adam.init(params)
+    adam_dtypes = {
+        str(leaf.dtype)
+        for leaf in jax.tree_util.tree_leaves(adam_state)
+        if hasattr(leaf, "dtype") and getattr(leaf, "ndim", 0) > 0
+    }
+    assert "bfloat16" in adam_dtypes, adam_dtypes
+
+    with pytest.raises(ValueError, match="opt_state_dtype"):
+        build_optimizer(cfg.replace(opt_state_dtype="fp8"), steps_per_epoch=10)
+
+
 def test_checkpoint_keep_prunes(tmp_path):
     tree = {"w": np.arange(3.0)}
     for s in range(8):
