@@ -59,8 +59,20 @@ VARIANTS: dict[str, dict[str, str]] = {
 
 
 def main(dispatches: int = 8, save: str | None = None) -> dict:
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compile cache (same as bench.py) — only the baseline arm
+    # can hit it (compiler_options variants bypass/ miss by key), but that
+    # is the arm every rerun needs first
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".jax_cache",
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from cape_tpu.data.loader import BatchStream
     from cape_tpu.data.synthetic import synthetic_bodydata
