@@ -321,14 +321,22 @@ class ModelServer:
         topology is known for this model (the transport maps it to 404)."""
         if self._viewer_page is not None:
             return self._viewer_page
-        import jax
-
         from cape_tpu.meshops.viewer import live_viewer_html
 
         cfg = self.engine.model.cfg
-        template = self.engine._to_natural_order(
-            np.asarray(jax.device_get(self.engine.ctx.template_verts), np.float32)[None]
-        )[0]
+        # the live InferenceEngine carries the (device-order) template;
+        # an artifact-served ExportedEngine ships no topology at all —
+        # its duck-typed ctx has neither template_verts nor the
+        # natural-order mapping, so fall through to assets (flagship) or
+        # a clean 404 instead of an AttributeError->500
+        template = None
+        tv = getattr(self.engine.ctx, "template_verts", None)
+        if tv is not None and hasattr(self.engine, "_to_natural_order"):
+            import jax
+
+            template = self.engine._to_natural_order(
+                np.asarray(jax.device_get(tv), np.float32)[None]
+            )[0]
         if self._viewer_mesh is not None:
             faces, mean, std, demo_poses = self._viewer_mesh
         elif self.info["num_verts"] == 6890:
@@ -336,7 +344,9 @@ class ModelServer:
             from cape_tpu.meshops import assets
             from cape_tpu.smpl.joints import filter_cloth_pose
 
-            _, faces = assets.template_mesh()
+            averts, faces = assets.template_mesh()
+            if template is None:
+                template = np.asarray(averts, np.float32)  # natural order
             mean, std = assets.trainset_stats()
             poses = assets.demo_pose_params()
             raw = poses["rot"] if cfg.cond_dim % 9 == 0 else poses["pose"]
@@ -347,6 +357,12 @@ class ModelServer:
             raise ServerError(
                 "no mesh topology known for this model — pass viewer_mesh="
                 "(faces, mean, std, demo_poses) to ModelServer/serve()"
+            )
+        if template is None:
+            raise ServerError(
+                "this engine ships no mesh template (artifact-served "
+                "non-flagship model) — /viewer needs a live engine or the "
+                "flagship SMPL topology"
             )
         if demo_poses is None or np.asarray(demo_poses).size == 0:
             demo_poses = np.zeros((1, cfg.cond_dim), np.float32)

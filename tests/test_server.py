@@ -629,3 +629,33 @@ def test_decode_pre_embedded_row_mismatch_rejected(srv):
         {"z_total": zt.tolist(), "y": y.tolist(), "y2": y2.tolist()},
     )
     assert status == 400 and "rows" in r["error"]
+
+
+def test_viewer_artifact_engine_topology_handling():
+    """GET /viewer vs artifact-served engines (tools/export_model.py
+    ExportedEngine): the duck-typed engine ships no template_verts and no
+    natural-order mapping, so a non-flagship artifact must get a clean
+    ServerError (-> 404), not an AttributeError (-> 500); a
+    flagship-shaped (6890-vertex) artifact resolves its template from
+    assets/ and serves the page."""
+    from types import SimpleNamespace
+
+    from cape_tpu.apps.server import ModelServer, ServerError
+
+    def artifact_engine(nv):
+        return SimpleNamespace(
+            batch_size=4,
+            model=SimpleNamespace(
+                cfg=SimpleNamespace(
+                    name="artifact", nz=8, nz_cond=8, nz_cond2=4,
+                    cond_dim=126, cond2_dim=4, compute_dtype="float32",
+                )
+            ),
+            ctx=SimpleNamespace(level_sizes=[nv]),
+        )
+
+    with pytest.raises(ServerError, match="no mesh topology"):
+        ModelServer(artifact_engine(258), micro_batch=False).viewer_html()
+
+    page = ModelServer(artifact_engine(6890), micro_batch=False).viewer_html()
+    assert b"/sample" in page and len(page) > 10_000
