@@ -195,3 +195,15 @@ def test_plot_metrics_dashboard(tmp_path):
     (empty / "metrics.jsonl").touch()
     with pytest.raises(ValueError):
         plot_metrics(str(empty))
+
+
+def test_perf_ab_tools_import_clean():
+    """The on-chip A/B harnesses (docs/PERF.md round 5) import without a
+    backend: jax is deliberately imported inside main() so a syntax or
+    top-level regression is caught here without touching the relay."""
+    import cape_tpu.tools.opt_state_ab as osab
+    import cape_tpu.tools.xla_opts_ab as xoab
+
+    assert callable(osab.main) and callable(xoab.main)
+    assert xoab.VARIANTS and "baseline" in xoab.VARIANTS
+    assert osab.STEPS_PER_DISPATCH == xoab.STEPS_PER_DISPATCH == 32
